@@ -1,0 +1,72 @@
+"""Analyzers: identical tokenization on index side, query side, and oracle.
+
+The reference's analysis contract is Lucene's ``StandardAnalyzer``
+(lowercase, word-boundary split, no stemming/stopwords by default) — see
+``/root/reference/lucille-core/src/main/java/com/kmwllc/lucille/stage/MatchQuery.java:81``.
+We implement the same contract three ways that are kept in exact lockstep
+(one shared regex), because the correctness gate compares a Spark plan
+against a DuckDB oracle:
+
+- :func:`tokenize_col`   — Spark Column expression (JVM-side, codegen'd; the
+  hot path — no Python in the loop).
+- :func:`tokenize_py`    — pure-Python, used by the NumPy BM25 oracle.
+- :func:`duckdb_tokens_sql` — SQL snippet for the DuckDB oracle.
+
+The ``standard`` analyzer lowercases then splits on runs of characters
+outside ``[a-z0-9_]`` — a faithful ASCII-range approximation of Lucene's
+UAX#29 segmentation (underscore joins words in UAX#29 via ExtendNumLet,
+which is why ``_`` stays inside tokens: ``ident_foo`` is one term, matching
+how a code corpus wants identifiers kept whole).
+
+A ``code`` analyzer additionally splits camelCase / snake_case identifiers
+into sub-tokens while keeping the original (useful for source-code search);
+it is opt-in and kept out of oracle-parity tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# single source of truth for the standard analyzer split
+SPLIT_PATTERN = "[^a-z0-9_]+"
+_PY_SPLIT = re.compile(SPLIT_PATTERN)
+_CAMEL = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|_")
+
+
+def tokenize_col(col: Column) -> Column:
+    """text column -> array<string> of tokens, entirely JVM-side."""
+    return F.filter(F.split(F.lower(col), SPLIT_PATTERN), lambda x: x != F.lit(""))
+
+
+def tokenize_py(text: str) -> List[str]:
+    """Reference tokenizer for the pure-Python oracle (same contract)."""
+    if text is None:
+        return []
+    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+
+
+def duckdb_tokens_sql(expr: str) -> str:
+    """DuckDB SQL producing the identical token array for a text expression."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{SPLIT_PATTERN}'),"
+        " t -> t <> '')"
+    )
+
+
+def code_subtokens_py(token: str) -> List[str]:
+    """camelCase/snake_case sub-token split for the opt-in ``code`` analyzer."""
+    subs = [s.lower() for s in _CAMEL.split(token) if s]
+    return subs if len(subs) > 1 else []
+
+
+def tokenize_code_py(text: str) -> List[str]:
+    """``code`` analyzer: standard tokens + identifier sub-tokens appended."""
+    base = tokenize_py(text)
+    out = list(base)
+    for raw in re.findall(r"[A-Za-z0-9_]+", text or ""):
+        out.extend(code_subtokens_py(raw))
+    return out

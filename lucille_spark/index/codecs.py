@@ -1,0 +1,133 @@
+"""Vectorized posting-list compression codecs (NumPy, no per-element Python).
+
+Delta-encoded docID gaps + variable-byte (VByte) coding, the classic
+inverted-index block format (Manning/Raghavan/Schuetze IR ch.5; same family
+Lucene uses for its postings). The reference (kmwtechnology/lucille) delegates
+this to Lucene inside Solr/ES — here it is built from scratch
+(SURVEY.md §0, §4.3.2).
+
+VByte layout: each uint64 is emitted little-endian in 7-bit groups; the high
+bit of a byte is 1 on every byte except the last byte of a value ("more"
+flag inverted relative to some conventions — the *terminator* byte has
+high bit 0).
+
+All encode/decode paths are vectorized NumPy so they can run inside Arrow
+pandas UDFs without per-row Python overhead (BASELINE input_hint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASKS = None
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array to a VByte byte string (vectorized).
+
+    Each value v is split into ceil(bits(v)/7) 7-bit groups, little-endian;
+    all bytes carry the continuation high bit except the final byte.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of bytes needed per value: floor(log128(v)) + 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # max 10 bytes for uint64
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # starting offset of each value's byte run
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # for each byte slot, which value does it belong to and which group index?
+    owner = np.repeat(np.arange(v.size), nbytes)
+    pos_in_value = np.arange(total) - np.repeat(starts, nbytes)
+    shifted = v[owner] >> (pos_in_value.astype(np.uint64) * np.uint64(7))
+    chunk = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    is_last = pos_in_value == (nbytes[owner] - 1)
+    out[:] = np.where(is_last, chunk, chunk | np.uint8(0x80))
+    return out.tobytes()
+
+
+def vbyte_decode(data: bytes) -> np.ndarray:
+    """Decode a VByte byte string back to a uint64 array (vectorized)."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    # value index for each byte: cumulative count of terminators before it
+    value_idx = np.concatenate(([0], np.cumsum(is_last)[:-1]))
+    n_values = int(is_last.sum())
+    # position of byte within its value
+    term_positions = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], term_positions[:-1] + 1))
+    pos_in_value = np.arange(raw.size) - starts[value_idx]
+    contrib = (raw & 0x7F).astype(np.uint64) << (
+        pos_in_value.astype(np.uint64) * np.uint64(7)
+    )
+    out = np.zeros(n_values, dtype=np.uint64)
+    np.add.at(out, value_idx, contrib)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing uint64 ids -> first id + gaps (gap of first = id)."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    g = np.ascontiguousarray(gaps, dtype=np.uint64)
+    return np.cumsum(g, dtype=np.uint64)
+
+
+def encode_block_docs(doc_ords: np.ndarray) -> bytes:
+    """Sorted doc ordinals -> delta+vbyte bytes."""
+    return vbyte_encode(delta_encode(doc_ords))
+
+
+def decode_block_docs(data: bytes) -> np.ndarray:
+    return delta_decode(vbyte_decode(data))
+
+
+def encode_block_tfs(tfs: np.ndarray) -> bytes:
+    return vbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_block_tfs(data: bytes) -> np.ndarray:
+    return vbyte_decode(data)
+
+
+def encode_positions(positions_per_doc: list) -> bytes:
+    """Per-doc sorted position arrays -> [len, delta-positions...] stream."""
+    parts = []
+    for p in positions_per_doc:
+        arr = np.asarray(p, dtype=np.uint64)
+        parts.append(np.concatenate(([np.uint64(arr.size)], delta_encode(arr))))
+    if not parts:
+        return b""
+    return vbyte_encode(np.concatenate(parts))
+
+
+def decode_positions(data: bytes, n_docs: int) -> list:
+    """Inverse of encode_positions -> list of uint64 arrays, len == n_docs."""
+    flat = vbyte_decode(data)
+    out = []
+    i = 0
+    for _ in range(n_docs):
+        n = int(flat[i])
+        i += 1
+        out.append(delta_decode(flat[i : i + n]))
+        i += n
+    return out

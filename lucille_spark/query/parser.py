@@ -1,0 +1,213 @@
+"""Lucene classic QueryParser subset (the reference's query grammar).
+
+Grammar contract comes from the reference percolator stage, which feeds
+user queries to Lucene's classic QueryParser with a StandardAnalyzer
+(``/root/reference/lucille-core/src/main/java/com/kmwllc/lucille/stage/MatchQuery.java:85-92``;
+fixture queries at
+``lucille-core/src/test/resources/MatchQueryTest/config.conf:14-26``).
+
+Supported subset (everything the reference fixtures use):
+  - bare terms (analyzed with the standard analyzer), default field
+  - fielded terms          ``field:term``
+  - quoted phrases         ``field:"exact phrase"``
+  - boolean operators      ``AND``, ``OR``, ``NOT`` (and unary ``-``/``+``)
+  - grouping               ``( ... )``
+
+Default operator is OR (Lucene's default). ``-x`` / ``NOT x`` is MUST_NOT.
+The AST is engine-neutral; executors live in ``oracle.py`` (NumPy),
+``executor_df.py`` (DataFrame), ``wand.py`` (block-max WAND).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional
+
+from lucille_spark.analysis import tokenize_py
+
+DEFAULT_FIELD = "content"
+
+
+@dataclass(frozen=True)
+class Term:
+    field: str
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    field: str
+    terms: tuple  # tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() |
+        (?P<rparen>\)) |
+        (?P<and>AND\b) |
+        (?P<or>OR\b) |
+        (?P<not>NOT\b) |
+        (?P<minus>-) |
+        (?P<plus>\+) |
+        (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)") |
+        (?P<term>(?:(?P<tfield>[A-Za-z_][\w.]*):)?(?P<ttext>[^\s()":]+))
+    )""",
+    re.VERBOSE,
+)
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(q: str):
+    pos, out = 0, []
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            if q[pos:].strip() == "":
+                break
+            raise QueryParseError(f"cannot lex query at {pos}: {q[pos:]!r}")
+        pos = m.end()
+        out.append(m)
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens, default_field: str):
+        self.toks = tokens
+        self.i = 0
+        self.default_field = default_field
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse_or(self):
+        children = [self.parse_and()]
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.group("or"):
+                self.next()
+                children.append(self.parse_and())
+            elif t.group("rparen"):
+                break
+            else:
+                # juxtaposition: Lucene's default operator is OR
+                children.append(self.parse_and())
+        return Or(tuple(children)) if len(children) > 1 else children[0]
+
+    def parse_and(self):
+        left = self.parse_unary()
+        children = [left]
+        while True:
+            t = self.peek()
+            if t is not None and t.group("and"):
+                self.next()
+                children.append(self.parse_unary())
+            else:
+                break
+        return And(tuple(children)) if len(children) > 1 else children[0]
+
+    def parse_unary(self):
+        t = self.peek()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t.group("minus") or t.group("not"):
+            self.next()
+            return Not(self.parse_unary())
+        if t.group("plus"):
+            self.next()
+            return self.parse_unary()
+        return self.parse_atom()
+
+    def parse_atom(self):
+        t = self.next()
+        if t is None:
+            raise QueryParseError("unexpected end of query")
+        if t.group("lparen"):
+            node = self.parse_or()
+            closing = self.next()
+            if closing is None or not closing.group("rparen"):
+                raise QueryParseError("missing )")
+            return node
+        if t.group("phrase"):
+            fieldname = t.group("pfield") or self.default_field
+            terms = tuple(tokenize_py(t.group("ptext")))
+            if not terms:
+                raise QueryParseError("empty phrase")
+            if len(terms) == 1:
+                return Term(fieldname, terms[0])
+            return Phrase(fieldname, terms)
+        if t.group("term"):
+            fieldname = t.group("tfield") or self.default_field
+            toks = tokenize_py(t.group("ttext"))
+            if not toks:
+                raise QueryParseError(f"term analyzes to nothing: {t.group('ttext')!r}")
+            if len(toks) == 1:
+                return Term(fieldname, toks[0])
+            # a raw token that analyzes to multiple terms (e.g. "foo-bar")
+            # becomes a phrase, matching Lucene classic parser behavior
+            return Phrase(fieldname, tuple(toks))
+        raise QueryParseError(f"unexpected token {t.group()!r}")
+
+
+def parse(query: str, default_field: str = DEFAULT_FIELD):
+    """Parse a query string into the AST."""
+    toks = _lex(query)
+    if not toks:
+        raise QueryParseError("empty query")
+    p = _Parser(toks, default_field)
+    node = p.parse_or()
+    if p.peek() is not None:
+        raise QueryParseError(f"trailing input from token {p.i}")
+    return node
+
+
+def positive_terms(node) -> List[Term]:
+    """All non-negated Terms/Phrase-terms (the ones that contribute score)."""
+    out: List[Term] = []
+
+    def walk(n, negated: bool):
+        if isinstance(n, Term):
+            if not negated:
+                out.append(n)
+        elif isinstance(n, Phrase):
+            if not negated:
+                out.extend(Term(n.field, t) for t in n.terms)
+        elif isinstance(n, Not):
+            walk(n.child, not negated)
+        elif isinstance(n, (And, Or)):
+            for c in n.children:
+                walk(c, negated)
+
+    walk(node, False)
+    # dedupe preserving order
+    seen, res = set(), []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            res.append(t)
+    return res
