@@ -1,0 +1,245 @@
+"""Distributed inverted-index build: the from-scratch replacement for the
+Solr/ES/OpenSearch half that the reference hands off to
+(SURVEY.md §0; ``/root/reference/lucille-core/.../indexer/SolrIndexer.java``
+is the hand-off point we replace).
+
+Dataflow (all DataFrame; Python appears only in Arrow-vectorized UDFs):
+
+  corpus(repo,path,commit,lang,content)
+    -> doc_id = sha256(repo \\x00 path \\x00 commit), content_sha256  [narrow]
+    -> dense doc_ord (ordinals.py)                                    [1 count + windows]
+    -> tokenize (JVM-side split) -> posexplode -> (field,term,doc_ord,pos)
+    -> groupBy(field,term,doc_ord): tf + sorted positions   [shuffle #1 — key
+       includes doc_ord so hot terms are spread across all reducers]
+    -> df-per-term agg (map-side partial combine)           [shuffle #2 — tiny]
+    -> SALTING: terms with df > docs_per_salt get n_salts = ceil(df/docs_per_salt)
+       via a *broadcast* join (hot-term table is provably small:
+       |hot| <= total_postings / docs_per_salt); salt = doc_ord range bucket
+       so per-salt doc ranges are disjoint and globally ordered
+    -> groupBy(field,term,salt) applyInPandas encode        [shuffle #3 — the
+       big sort-by-term; salting bounds every group to ~docs_per_salt rows]
+       -> 128-doc blocks: delta+varbyte doc gaps, varbyte tfs, varbyte dls,
+          optional varbyte positions, block_max_tf, block_max_tfnorm
+    -> lexicon = blocks.groupBy(field,term).agg(...)        [shuffle #4 — tiny]
+
+Output tables (parquet dir layout; Iceberg would add snapshots, the layout
+is Iceberg-compatible):
+  postings/      term-sorted, row-group pruning serves point lookups
+  lexicon/       (field,term,df,cf,n_blocks,max_tfnorm)
+  doc_stats/     (doc_id,doc_ord,dl_<field>...,repo,path,commit,lang,content_sha256)
+  corpus_stats/  (field,n_docs,avgdl,total_terms)
+  _lineage/      per-partition build provenance (checkpoint/resume)
+
+Blocks are self-contained for scoring (they carry dls), so the query plane
+never needs a doc_ord->dl lookup — at 10^12 docs that lookup table would not
+fit anywhere near the query path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucille_spark import BLOCK_SIZE, BM25_B, BM25_K1
+from lucille_spark.analysis import tokenize_col
+from lucille_spark.index import codecs
+from lucille_spark.index.ordinals import assign_doc_ord
+
+POSTINGS_SCHEMA = (
+    "field string, term string, salt int, block_seq int, first_doc long, "
+    "last_doc long, n_docs int, sum_tf long, doc_gaps binary, tfs binary, "
+    "dls binary, positions binary, block_max_tf int, block_max_tfnorm double"
+)
+
+
+def add_doc_identity(corpus: DataFrame) -> DataFrame:
+    """doc_id = sha256(repo\\x00path\\x00commit); content_sha256 invariant col."""
+    return corpus.withColumn(
+        "doc_id",
+        F.sha2(F.concat_ws("\x00", F.col("repo"), F.col("path"),
+                           F.col("commit")).cast("binary"), 256),
+    ).withColumn("content_sha256", F.sha2(F.col("content").cast("binary"), 256))
+
+
+def _encode_factory(avgdl: float, block_size: int, store_positions: bool):
+    k1, b = BM25_K1, BM25_B
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_ord")
+        field = pdf["field"].iat[0]
+        term = pdf["term"].iat[0]
+        salt = int(pdf["salt"].iat[0])
+        docs = pdf["doc_ord"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        tfnorm = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        poslists = pdf["positions"].tolist() if store_positions else None
+        rows = []
+        for seq, start in enumerate(range(0, len(pdf), block_size)):
+            end = min(start + block_size, len(pdf))
+            bdocs = docs[start:end].astype(np.uint64)
+            btfs = tfs[start:end].astype(np.uint64)
+            bdls = dls[start:end].astype(np.uint64)
+            rows.append({
+                "field": field, "term": term, "salt": salt, "block_seq": seq,
+                "first_doc": int(docs[start]), "last_doc": int(docs[end - 1]),
+                "n_docs": end - start, "sum_tf": int(btfs.sum()),
+                "doc_gaps": codecs.encode_block_docs(bdocs),
+                "tfs": codecs.vbyte_encode(btfs),
+                "dls": codecs.vbyte_encode(bdls),
+                "positions": (codecs.encode_positions(poslists[start:end])
+                              if store_positions else None),
+                "block_max_tf": int(btfs.max()),
+                "block_max_tfnorm": float(tfnorm[start:end].max()),
+            })
+        return pd.DataFrame(rows)
+
+    return encode
+
+
+def build_index(
+    corpus: DataFrame,
+    out_dir: str,
+    fields: Sequence[str] = ("content",),
+    store_positions: bool = True,
+    block_size: int = BLOCK_SIZE,
+    docs_per_salt: int = 1 << 17,
+    run_id: str = "run-0",
+    resume: bool = False,
+) -> dict:
+    """Build the full index at ``out_dir``; returns corpus-level stats.
+
+    ``docs_per_salt`` bounds the largest single sort group: any term whose
+    document frequency exceeds it is split into doc_ord-range salts. At a
+    real 100 TB run keep the default (~131k postings per group ≈ a few MB);
+    tests shrink it to force the salted path.
+    """
+    spark = corpus.sparkSession
+    if resume and _lineage_complete(spark, out_dir, run_id):
+        return _read_stats(spark, out_dir)
+
+    ident = add_doc_identity(corpus)
+    docs = assign_doc_ord(ident, "doc_id")
+
+    # per-field token arrays + dl columns, cached once for all downstream aggs
+    for f_name in fields:
+        docs = docs.withColumn(f"_toks_{f_name}", tokenize_col(F.col(f_name)))
+        docs = docs.withColumn(f"dl_{f_name}",
+                               F.size(F.col(f"_toks_{f_name}")).cast("long"))
+    docs = docs.persist()
+
+    # --- doc_stats + corpus_stats ---------------------------------------
+    stat_cols = ["doc_id", "doc_ord"] + [f"dl_{f}" for f in fields] + [
+        c for c in ("repo", "path", "commit", "lang") if c in corpus.columns
+    ] + ["content_sha256"]
+    docs.select(*stat_cols).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "doc_stats"))
+
+    cs_rows = []
+    n_docs = docs.count()
+    for f_name in fields:
+        agg = docs.agg(F.avg(f"dl_{f_name}").alias("avgdl"),
+                       F.sum(f"dl_{f_name}").alias("total")).collect()[0]
+        cs_rows.append((f_name, n_docs, float(agg["avgdl"] or 0.0),
+                        int(agg["total"] or 0)))
+    corpus_stats = spark.createDataFrame(
+        cs_rows, "field string, n_docs long, avgdl double, total_terms long")
+    corpus_stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "corpus_stats"))
+    avgdl_by_field = {r[0]: r[2] for r in cs_rows}
+
+    # --- postings per field ----------------------------------------------
+    all_blocks = None
+    for f_name in fields:
+        toks = docs.select(
+            F.lit(f_name).alias("field"), "doc_ord",
+            F.col(f"dl_{f_name}").alias("dl"),
+            F.posexplode(f"_toks_{f_name}").alias("pos", "term"),
+        )
+        postings_raw = (
+            toks.groupBy("field", "term", "doc_ord")
+            .agg(F.count("*").cast("long").alias("tf"),
+                 F.first("dl").alias("dl"),
+                 F.sort_array(F.collect_list("pos")).alias("positions"))
+        )
+        # adaptive salting: broadcast the (small) hot-term table
+        hot = (
+            postings_raw.groupBy("field", "term").count()
+            .filter(F.col("count") > docs_per_salt)
+            .withColumn("n_salts",
+                        F.ceil(F.col("count") / docs_per_salt).cast("int"))
+            .drop("count")
+        )
+        salted = (
+            postings_raw.join(F.broadcast(hot), ["field", "term"], "left")
+            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+            .withColumn(
+                "salt",
+                F.floor(F.col("doc_ord") * F.col("n_salts") / F.lit(n_docs)
+                        ).cast("int"))
+            .drop("n_salts")
+        )
+        enc = _encode_factory(avgdl_by_field[f_name], block_size,
+                              store_positions)
+        blocks = salted.groupBy("field", "term", "salt").applyInPandas(
+            enc, schema=POSTINGS_SCHEMA)
+        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
+
+    # term-sorted layout → parquet row-group min/max stats prune term lookups
+    (all_blocks.repartitionByRange(
+        max(spark.sparkContext.defaultParallelism, 8), "field", "term")
+     .sortWithinPartitions("field", "term", "salt", "block_seq")
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
+
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    lexicon = (
+        postings.groupBy("field", "term")
+        .agg(F.sum("n_docs").cast("long").alias("df"),
+             F.sum("sum_tf").cast("long").alias("cf"),
+             F.count("*").cast("int").alias("n_blocks"),
+             F.max("block_max_tfnorm").alias("max_tfnorm"))
+    )
+    lexicon.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))
+
+    _write_lineage(spark, out_dir, run_id, n_docs)
+    docs.unpersist()
+    return {"n_docs": n_docs, "avgdl": avgdl_by_field,
+            "fields": list(fields), "out_dir": out_dir}
+
+
+# --- lineage / resume ------------------------------------------------------
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def _write_lineage(spark: SparkSession, out_dir: str, run_id: str,
+                   n_docs: int) -> None:
+    spark.createDataFrame(
+        [(run_id, "index_build", n_docs, "complete")],
+        "run_id string, stage string, n_docs long, status string",
+    ).write.mode("append").parquet(_lineage_path(out_dir))
+
+
+def _lineage_complete(spark: SparkSession, out_dir: str, run_id: str) -> bool:
+    try:
+        lin = spark.read.parquet(_lineage_path(out_dir))
+    except Exception:
+        return False
+    return (
+        lin.filter((F.col("run_id") == run_id)
+                   & (F.col("status") == "complete")).count() > 0
+    )
+
+
+def _read_stats(spark: SparkSession, out_dir: str) -> dict:
+    cs = spark.read.parquet(os.path.join(out_dir, "corpus_stats")).collect()
+    return {"n_docs": cs[0]["n_docs"] if cs else 0,
+            "avgdl": {r["field"]: r["avgdl"] for r in cs},
+            "fields": [r["field"] for r in cs], "out_dir": out_dir}

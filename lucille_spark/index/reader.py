@@ -1,0 +1,190 @@
+"""Driver-side index reader: lexicon lookups + lazily-decoded block cursors.
+
+Reads the parquet tables written by ``builder.build_index`` through
+pyarrow.dataset with predicate pushdown (term-sorted layout → row-group
+pruning), so a single-query lookup touches only the row groups holding the
+query's terms — no Spark job, millisecond-scale latency. This is the moral
+equivalent of Lucene's term dictionary + skip lists, which the reference
+gets by delegating to Solr/ES (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow.dataset as ds
+
+from lucille_spark import BM25_B, BM25_K1
+from lucille_spark.index import codecs
+
+SENTINEL = 1 << 62
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self._postings = ds.dataset(os.path.join(index_dir, "postings"))
+        self._lexicon = ds.dataset(os.path.join(index_dir, "lexicon"))
+        self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
+        stats = ds.dataset(os.path.join(index_dir, "corpus_stats")).to_table()
+        self.stats = {
+            r["field"]: r for r in stats.to_pylist()
+        }
+        self._term_cache: Dict = {}
+
+    # --- stats -----------------------------------------------------------
+    def n_docs(self, field: str = "content") -> int:
+        return int(self.stats[field]["n_docs"])
+
+    def avgdl(self, field: str = "content") -> float:
+        return float(self.stats[field]["avgdl"])
+
+    def term_info(self, field: str, term: str) -> Optional[dict]:
+        key = (field, term)
+        if key not in self._term_cache:
+            t = self._lexicon.to_table(
+                filter=(ds.field("field") == field) & (ds.field("term") == term))
+            rows = t.to_pylist()
+            self._term_cache[key] = rows[0] if rows else None
+        return self._term_cache[key]
+
+    def idf(self, field: str, term: str) -> float:
+        info = self.term_info(field, term)
+        df = info["df"] if info else 0
+        n = self.n_docs(field)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    # --- postings ---------------------------------------------------------
+    def blocks(self, field: str, term: str, columns: Optional[List[str]] = None):
+        """All block rows for a term, ordered by first_doc (salt ranges are
+        disjoint in doc_ord, so (salt, block_seq) order == first_doc order)."""
+        cols = columns or ["salt", "block_seq", "first_doc", "last_doc",
+                           "n_docs", "doc_gaps", "tfs", "dls", "positions",
+                           "block_max_tf", "block_max_tfnorm"]
+        t = self._postings.to_table(
+            filter=(ds.field("field") == field) & (ds.field("term") == term),
+            columns=cols)
+        pdf = t.to_pandas()
+        return pdf.sort_values(["first_doc"]).reset_index(drop=True)
+
+    def decode_term(self, field: str, term: str, positions: bool = False):
+        """Full uncompressed postings: (doc_ords, tfs, dls[, positions])."""
+        pdf = self.blocks(field, term)
+        if pdf.empty:
+            empty = np.empty(0, dtype=np.uint64)
+            return (empty, empty, empty, []) if positions else (empty, empty, empty)
+        doc_arrays, tf_arrays, dl_arrays, pos_lists = [], [], [], []
+        for _, row in pdf.iterrows():
+            doc_arrays.append(codecs.decode_block_docs(row["doc_gaps"]))
+            tf_arrays.append(codecs.vbyte_decode(row["tfs"]))
+            dl_arrays.append(codecs.vbyte_decode(row["dls"]))
+            if positions:
+                pos_lists.extend(
+                    codecs.decode_positions(row["positions"], int(row["n_docs"])))
+        out = (np.concatenate(doc_arrays), np.concatenate(tf_arrays),
+               np.concatenate(dl_arrays))
+        return out + (pos_lists,) if positions else out
+
+    def doc_ids_for_ords(self, ords: List[int]) -> Dict[int, str]:
+        if not ords:
+            return {}
+        t = self._doc_stats.to_table(
+            filter=ds.field("doc_ord").isin([int(o) for o in ords]),
+            columns=["doc_ord", "doc_id"])
+        return dict(zip(t["doc_ord"].to_pylist(), t["doc_id"].to_pylist()))
+
+
+class TermCursor:
+    """Block-at-a-time cursor with skipping: blocks are only decoded when the
+    cursor actually lands in them (next_geq skips whole blocks via the
+    first_doc/last_doc fences, the skip-list equivalent)."""
+
+    def __init__(self, reader: IndexReader, field: str, term: str,
+                 need_positions: bool = False):
+        self.field, self.term = field, term
+        self.idf = reader.idf(field, term)
+        info = reader.term_info(field, term)
+        self.df = info["df"] if info else 0
+        self.max_score = self.idf * float(info["max_tfnorm"]) if info else 0.0
+        self.avgdl = reader.avgdl(field)
+        self._blocks = reader.blocks(field, term)
+        self._nblocks = len(self._blocks)
+        self._first = self._blocks["first_doc"].to_numpy() if self._nblocks else np.empty(0)
+        self._last = self._blocks["last_doc"].to_numpy() if self._nblocks else np.empty(0)
+        self._bmax = (self._blocks["block_max_tfnorm"].to_numpy()
+                      if self._nblocks else np.empty(0))
+        self.bi = -1
+        self.pos = 0
+        self._docs = self._tfs = self._dls = None
+        self.doc = SENTINEL
+        if self._nblocks:
+            self._load(0)
+
+    def _load(self, bi: int):
+        self.bi = bi
+        row = self._blocks.iloc[bi]
+        self._docs = codecs.decode_block_docs(row["doc_gaps"]).astype(np.int64)
+        self._tfs = codecs.vbyte_decode(row["tfs"]).astype(np.int64)
+        self._dls = codecs.vbyte_decode(row["dls"]).astype(np.int64)
+        self.pos = 0
+        self.doc = int(self._docs[0])
+
+    def next(self):
+        if self.doc == SENTINEL:
+            return SENTINEL
+        self.pos += 1
+        if self.pos < len(self._docs):
+            self.doc = int(self._docs[self.pos])
+        elif self.bi + 1 < self._nblocks:
+            self._load(self.bi + 1)
+        else:
+            self.doc = SENTINEL
+        return self.doc
+
+    def next_geq(self, target: int):
+        if self.doc >= target:
+            return self.doc
+        # skip whole blocks using fences (no decode)
+        if self._last[self.bi] < target:
+            nxt = int(np.searchsorted(self._last, target, side="left"))
+            if nxt >= self._nblocks:
+                self.doc = SENTINEL
+                return SENTINEL
+            self._load(nxt)
+        # binary search within the (now decoded) block
+        i = int(np.searchsorted(self._docs, target, side="left", sorter=None))
+        if i >= len(self._docs):  # can't happen given fences, but be safe
+            return self.next_geq(target + 1)
+        self.pos = i
+        self.doc = int(self._docs[i])
+        return self.doc
+
+    def score(self) -> float:
+        tf = float(self._tfs[self.pos])
+        dl = float(self._dls[self.pos])
+        return self.idf * (tf / (tf + BM25_K1 * (1.0 - BM25_B
+                                                 + BM25_B * dl / self.avgdl)))
+
+    def block_max_score_at(self, target: int) -> float:
+        """Upper bound on score for any doc >= current in the block covering
+        target (shallow pointer move — metadata only, no decode)."""
+        if self.doc == SENTINEL:
+            return 0.0
+        bi = self.bi
+        if self._last[bi] < target:
+            bi = int(np.searchsorted(self._last, target, side="left"))
+            if bi >= self._nblocks:
+                return 0.0
+        return self.idf * float(self._bmax[bi])
+
+    def block_last_at(self, target: int) -> int:
+        """last_doc fence of the block that covers/follows target."""
+        bi = self.bi
+        if self._last[bi] < target:
+            bi = int(np.searchsorted(self._last, target, side="left"))
+            if bi >= self._nblocks:
+                return SENTINEL
+        return int(self._last[bi])

@@ -1,0 +1,182 @@
+"""Distributed query execution as pure DataFrame plans.
+
+Two scale paths:
+
+1. :func:`bm25_query_df` — BM25 top-k straight off the corpus table with NO
+   shuffle except the final TakeOrdered(k): per-term tf is computed with
+   ``size(filter(tokens, = term))`` (narrow, whole-stage codegen), df/N/avgdl
+   with one map-side-combined aggregate broadcast back via crossJoin. This is
+   the plan you want when the query set is small and the corpus is huge —
+   it is also what the DuckDB oracle mirrors for the correctness gate.
+
+2. :func:`search_batch` — fan a *query set* across executors: each task runs
+   the driver-side block-max WAND searcher against the shared index tables
+   (the classic shared-nothing search tier: queries are the parallel unit,
+   the index is storage). Arrow-batched, one searcher per executor task.
+
+Boolean/phrase predicates are expressed as higher-order array functions
+(``exists``/``array_intersect``) so they stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucille_spark import BM25_B, BM25_K1
+from lucille_spark.analysis import tokenize_col
+
+
+def prepare_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("toks"),
+    ).withColumn("dl", F.size("toks").cast("long"))
+
+
+def _tf_col(term: str) -> Column:
+    return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("long")
+
+
+def phrase_pred(terms: Sequence[str], toks_col: str = "toks") -> Column:
+    """True when the token sequence appears consecutively (positions path)."""
+    n = len(terms)
+    conds = " and ".join(
+        f"element_at({toks_col}, cast(i as int) + {off + 1}) = '{t}'"
+        for off, t in enumerate(terms)
+    )
+    return F.expr(
+        f"exists(sequence(0, size({toks_col}) - {n}), i -> {conds})"
+    ) & (F.size(toks_col) >= n)
+
+
+def bm25_query_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+    mode: str = "or",
+    exclude: Sequence[str] = (),
+    phrases: Sequence[Sequence[str]] = (),
+    score_decimals: int = 4,
+) -> DataFrame:
+    """BM25 top-k as a DataFrame: (doc_id, rank, score).
+
+    mode="or"  — match any scoring term;  mode="and" — require all.
+    ``exclude`` terms must be absent; ``phrases`` must appear consecutively
+    (their constituent terms must already be included in ``terms`` to score,
+    mirroring the oracle's positive-term semantics).
+    """
+    docs = prepare_docs(df, id_col, text_col)
+    uniq = list(dict.fromkeys(terms))
+    for i, t in enumerate(uniq):
+        docs = docs.withColumn(f"tf_{i}", _tf_col(t))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(uniq))],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(uniq)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tfn = F.col(f"tf_{i}") / (
+            F.col(f"tf_{i}")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        score = score + F.when(F.col(f"tf_{i}") > 0, idf * tfn).otherwise(0.0)
+    scored = scored.withColumn("score", score)
+
+    if mode == "and":
+        match = None
+        for i in range(len(uniq)):
+            c = F.col(f"tf_{i}") > 0
+            match = c if match is None else match & c
+    else:
+        match = None
+        for i in range(len(uniq)):
+            c = F.col(f"tf_{i}") > 0
+            match = c if match is None else match | c
+    for ph in phrases:
+        match = (match if match is not None else F.lit(True)) & phrase_pred(ph)
+    for t in exclude:
+        match = match & (F.size(F.filter("toks", lambda x: x == F.lit(t))) == 0)
+    scored = scored.filter(match if match is not None else F.lit(False))
+
+    # TakeOrdered(k) — no global sort materializes
+    topk = (
+        scored.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank", F.round("score", score_decimals).alias("score")
+    )
+
+
+def boolean_match_df(
+    df: DataFrame, id_col: str, text_col: str,
+    all_of: Sequence[str] = (), any_of: Sequence[str] = (),
+    none_of: Sequence[str] = (), phrases: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """Percolator-style boolean matching as a DataFrame filter: (doc_id)."""
+    docs = prepare_docs(df, id_col, text_col)
+    pred = F.lit(True)
+    if all_of:
+        pred = pred & (F.size(F.array_intersect(
+            F.array_distinct("toks"),
+            F.array(*[F.lit(t) for t in all_of]))) == len(set(all_of)))
+    if any_of:
+        pred = pred & F.arrays_overlap(
+            "toks", F.array(*[F.lit(t) for t in any_of]))
+    if none_of:
+        pred = pred & ~F.arrays_overlap(
+            "toks", F.array(*[F.lit(t) for t in none_of]))
+    for ph in phrases:
+        pred = pred & phrase_pred(ph)
+    return docs.filter(pred).select("doc_id")
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: List[Tuple[str, str]],
+    k: int = 10,
+    default_field: str = "content",
+) -> DataFrame:
+    """Run a query batch distributed: (query_id, rank, doc_id, score).
+
+    One WAND searcher per executor task; queries are the unit of parallelism
+    (the index is shared storage, as in any search tier).
+    """
+    import pandas as pd
+
+    qdf = spark.createDataFrame(queries, "query_id string, query string")
+    n_part = min(len(queries), spark.sparkContext.defaultParallelism)
+
+    def run(batches):
+        from lucille_spark.query.searcher import IndexSearcher
+
+        searcher = IndexSearcher(index_dir, default_field)
+        for pdf in batches:
+            rows = []
+            for qid, q in zip(pdf["query_id"], pdf["query"]):
+                for rank, (doc_id, score) in enumerate(searcher.search(q, k), 1):
+                    rows.append((qid, rank, doc_id, float(score)))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "rank", "doc_id", "score"])
+
+    return qdf.repartition(max(n_part, 1)).mapInPandas(
+        run, schema="query_id string, rank int, doc_id string, score double")

@@ -1,0 +1,262 @@
+"""Driver-side ranked retrieval over the compressed index.
+
+Three physical strategies, all rank-identical to the exhaustive NumPy oracle
+(tie-break: score desc, doc_id asc — and doc_ord order IS doc_id order by
+construction, see ordinals.py):
+
+- pure disjunctions  -> Block-Max WAND (Ding & Suel, SIGIR'11): pivot-based
+  skipping on global term upper bounds, refined with per-block max scores,
+  whole blocks skipped without decompression.
+- pure conjunctions  -> leapfrog intersection over block cursors with
+  block-max pruning.
+- anything else (phrases, negations, nested boolean) -> boolean-filter the
+  candidate set, then score candidates exhaustively.
+
+The reference delegates all of this to Lucene inside Solr/ES/OpenSearch
+(SURVEY.md §2.9); the query grammar contract is MatchQuery.java:85-92.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from lucille_spark import BM25_B, BM25_K1
+from lucille_spark.index.reader import SENTINEL, IndexReader, TermCursor
+from lucille_spark.query.parser import (
+    And, Not, Or, Phrase, Term, parse, positive_terms,
+)
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, default_field: str = "content"):
+        self.reader = IndexReader(index_dir)
+        self.default_field = default_field
+
+    # ------------------------------------------------------------------ API
+    def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        """BM25 top-k [(doc_id, score)] using the fastest applicable strategy."""
+        node = parse(query, self.default_field)
+        shape = _classify(node)
+        if shape == "or":
+            hits = self._wand_or([TermCursor(self.reader, t.field, t.text)
+                                  for t in node_terms(node)], k)
+        elif shape == "and":
+            hits = self._leapfrog_and([TermCursor(self.reader, t.field, t.text)
+                                       for t in node_terms(node)], k)
+        elif shape == "term":
+            hits = self._wand_or([TermCursor(self.reader, node.field,
+                                             node.text)], k)
+        else:
+            hits = self._score_candidates(node, k)
+        return self._resolve(hits)
+
+    def search_exhaustive(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        """Decode-everything reference path (cross-check for WAND)."""
+        node = parse(query, self.default_field)
+        return self._resolve(self._score_candidates(node, k))
+
+    def match(self, query: str) -> List[str]:
+        """Percolator-style boolean matching: sorted doc_ids."""
+        node = parse(query, self.default_field)
+        ords = sorted(self._matching(node))
+        id_map = self.reader.doc_ids_for_ords(ords)
+        return sorted(id_map[o] for o in ords)
+
+    def _resolve(self, hits: List[Tuple[int, float]]) -> List[Tuple[str, float]]:
+        id_map = self.reader.doc_ids_for_ords([d for d, _ in hits])
+        return [(id_map[d], s) for d, s in hits]
+
+    # ------------------------------------------------------- WAND (pure OR)
+    def _wand_or(self, cursors: List[TermCursor], k: int):
+        cursors = [c for c in cursors if c.df > 0]
+        heap: List[Tuple[float, int]] = []  # (score, -doc_ord) min-heap
+        theta = -math.inf
+        active = list(cursors)
+        while True:
+            active = [c for c in active if c.doc != SENTINEL]
+            if not active:
+                break
+            order = sorted(active, key=lambda c: c.doc)
+            acc, pivot_idx = 0.0, None
+            for i, c in enumerate(order):
+                acc += c.max_score
+                if acc > theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx is None:
+                break  # even the sum of all remaining UBs can't beat theta
+            pivot = order[pivot_idx].doc
+            leads = order[: pivot_idx + 1]
+            ub = sum(c.block_max_score_at(pivot) for c in leads)
+            if len(heap) >= k and ub <= theta:
+                fence = min(c.block_last_at(pivot) for c in leads) + 1
+                if pivot_idx + 1 < len(order):
+                    fence = min(fence, order[pivot_idx + 1].doc)
+                fence = max(fence, pivot + 1)
+                adv = max(leads, key=lambda c: c.max_score)
+                adv.next_geq(fence)
+                continue
+            if order[0].doc == pivot:
+                # full eval — accumulate in ORIGINAL term order so the float
+                # sum matches the oracle bit-for-bit
+                s = 0.0
+                for c in cursors:
+                    if c.doc == pivot:
+                        s += c.score()
+                theta = _heap_offer(heap, k, s, pivot, theta)
+                for c in leads:
+                    if c.doc == pivot:
+                        c.next()
+            else:
+                adv = max((c for c in leads if c.doc < pivot),
+                          key=lambda c: c.max_score)
+                adv.next_geq(pivot)
+        return _heap_to_hits(heap)
+
+    # --------------------------------------------------- leapfrog (pure AND)
+    def _leapfrog_and(self, cursors: List[TermCursor], k: int):
+        cursors_eval = list(cursors)  # fixed order for float determinism
+        if any(c.df == 0 for c in cursors):
+            return []
+        heap: List[Tuple[float, int]] = []
+        theta = -math.inf
+        d = max(c.doc for c in cursors)
+        while d < SENTINEL:
+            aligned = True
+            for c in cursors:
+                nd = c.next_geq(d)
+                if nd != d:
+                    d = nd
+                    aligned = False
+                    break
+            if not aligned:
+                continue
+            if len(heap) >= k:
+                ub = sum(c.block_max_score_at(d) for c in cursors)
+                if ub <= theta:
+                    fence = min(c.block_last_at(d) for c in cursors) + 1
+                    d = max(fence, d + 1)
+                    continue
+            s = 0.0
+            for c in cursors_eval:
+                s += c.score()
+            theta = _heap_offer(heap, k, s, d, theta)
+            d = d + 1
+        return _heap_to_hits(heap)
+
+    # ----------------------------------------- general boolean + exhaustive
+    def _term_postings(self, field: str, term: str, positions: bool = False):
+        return self.reader.decode_term(field, term, positions=positions)
+
+    def _matching(self, node) -> Set[int]:
+        if isinstance(node, Term):
+            docs, _, _ = self._term_postings(node.field, node.text)
+            return set(int(d) for d in docs)
+        if isinstance(node, Phrase):
+            return self._phrase_docs(node)
+        if isinstance(node, Not):
+            return set(range(self.reader.n_docs(self.default_field))
+                       ) - self._matching(node.child)
+        if isinstance(node, And):
+            res: Optional[Set[int]] = None
+            for c in node.children:
+                s = self._matching(c)
+                res = s if res is None else res & s
+                if not res:
+                    return set()
+            return res or set()
+        if isinstance(node, Or):
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c for c in node.children if isinstance(c, Not)]
+            res: Set[int] = set()
+            for c in pos:
+                res |= self._matching(c)
+            for c in neg:
+                res -= self._matching(c.child)
+            return res
+        raise TypeError(f"unknown node {node!r}")
+
+    def _phrase_docs(self, p: Phrase) -> Set[int]:
+        per_term = []
+        for t in p.terms:
+            docs, _, _, poss = self._term_postings(p.field, t, positions=True)
+            per_term.append({int(d): set(int(x) for x in poss[i])
+                             for i, d in enumerate(docs)})
+        candidates = set(per_term[0])
+        for m in per_term[1:]:
+            candidates &= set(m)
+        out = set()
+        for d in candidates:
+            first = per_term[0][d]
+            if any(all((pos + off) in per_term[off][d]
+                       for off in range(len(p.terms))) for pos in first):
+                out.add(d)
+        return out
+
+    def _score_candidates(self, node, k: int):
+        matched = self._matching(node)
+        if not matched:
+            return []
+        terms = positive_terms(node)
+        avgdl = {}
+        tf_dl: List[Tuple[float, Dict[int, Tuple[int, int]]]] = []
+        for t in terms:
+            docs, tfs, dls = self._term_postings(t.field, t.text)
+            idf = self.reader.idf(t.field, t.text)
+            tf_dl.append((idf, {int(d): (int(tf), int(dl))
+                                for d, tf, dl in zip(docs, tfs, dls)}))
+            avgdl[t.field] = self.reader.avgdl(t.field)
+        field_by_term = [t.field for t in terms]
+        heap: List[Tuple[float, int]] = []
+        theta = -math.inf
+        for d in sorted(matched):
+            s = 0.0
+            for (idf, plist), fld in zip(tf_dl, field_by_term):
+                if d in plist:
+                    tf, dl = plist[d]
+                    s += idf * (tf / (tf + BM25_K1 * (
+                        1.0 - BM25_B + BM25_B * dl / avgdl[fld])))
+            theta = _heap_offer(heap, k, s, d, theta)
+        return _heap_to_hits(heap)
+
+
+# --- helpers ----------------------------------------------------------------
+
+def _heap_offer(heap, k, score, doc, theta):
+    """Min-heap of (score, -doc): root is the worst hit (lowest score, and
+    among equals the LARGEST doc — earlier docs win ties)."""
+    entry = (score, -doc)
+    if len(heap) < k:
+        heapq.heappush(heap, entry)
+        return heap[0][0] if len(heap) == k else theta
+    if entry > heap[0]:
+        heapq.heapreplace(heap, entry)
+    return heap[0][0]
+
+
+def _heap_to_hits(heap) -> List[Tuple[int, float]]:
+    return [(-nd, s) for s, nd in sorted(heap, key=lambda e: (-e[0], -e[1]))]
+
+
+def _classify(node) -> str:
+    if isinstance(node, Term):
+        return "term"
+    if isinstance(node, Or) and all(isinstance(c, Term) for c in node.children):
+        return "or"
+    if isinstance(node, And) and all(isinstance(c, Term) for c in node.children):
+        return "and"
+    return "general"
+
+
+def node_terms(node) -> List[Term]:
+    """Unique Term children in order (duplicates score once, like the oracle)."""
+    seen, out = set(), []
+    for c in node.children:
+        if isinstance(c, Term) and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
