@@ -144,10 +144,11 @@ def build_index(
     cs_rows = []
     n_docs = docs.count()
     for f_name in fields:
-        agg = docs.agg(F.avg(f"dl_{f_name}").alias("avgdl"),
-                       F.sum(f"dl_{f_name}").alias("total")).collect()[0]
-        cs_rows.append((f_name, n_docs, float(agg["avgdl"] or 0.0),
-                        int(agg["total"] or 0)))
+        agg = docs.agg(F.sum(f"dl_{f_name}").alias("total")).collect()[0]
+        total = int(agg["total"] or 0)
+        # exact integer sum / count: avgdl is bit-identical at any parallelism
+        cs_rows.append((f_name, n_docs, total / n_docs if n_docs else 0.0,
+                        total))
     corpus_stats = spark.createDataFrame(
         cs_rows, "field string, n_docs long, avgdl double, total_terms long")
     corpus_stats.write.mode("overwrite").parquet(

@@ -75,9 +75,10 @@ def bm25_query_df(
     uniq = list(dict.fromkeys(terms))
     for i, t in enumerate(uniq):
         docs = docs.withColumn(f"tf_{i}", _tf_col(t))
+    # avgdl from exact integer sum / count → bit-identical to the DuckDB oracle
     stats = docs.agg(
         F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
           for i in range(len(uniq))],
     )
