@@ -342,3 +342,348 @@ def bool_match_phrase(spark, sf_dir):
 
     return boolean_match_df(_docs(spark, sf_dir), "doc_id", "text",
                             phrases=[["key", "order"]])
+
+
+# =========================================================================
+# 5. Training-data ops: dedup / similarity / text analysis (lucille_spark.ml)
+# =========================================================================
+
+_TOKDICT_CTE = """
+tokdict AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT unnest(toks) AS term FROM toks)
+)"""
+
+
+@register("dedup_exact", sql="""
+SELECT sha256(text) AS content_sha256,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM documents GROUP BY sha256(text)
+""")
+def dedup_exact(spark, sf_dir):
+    from lucille_spark.ml.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_sql(n_hashes: int = 8) -> str:
+    from lucille_spark.ml.dedup import MINHASH_P, _hash_params
+
+    hcols = ",\n       ".join(
+        f"CAST(MIN(({a} * tid + {b}) % {MINHASH_P}) AS BIGINT) AS h_{j}"
+        for j, (a, b) in enumerate(_hash_params(n_hashes)))
+    return f"""
+WITH {_TOKS_CTE},
+{_TOKDICT_CTE},
+ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks)
+SELECT doc_id,
+       {hcols}
+FROM ex JOIN tokdict USING (term)
+GROUP BY doc_id
+"""
+
+
+@register("dedup_minhash_signatures", sql=_minhash_sql(8))
+def dedup_minhash_signatures(spark, sf_dir):
+    from lucille_spark.ml.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), "doc_id", "text",
+                              n_hashes=8)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    s_cols = ",\n       ".join(
+        f"SUM(tf * (2 * (CAST(FLOOR(v / {2**j}) AS BIGINT) % 2) - 1)) AS s_{j}"
+        for j in range(bits))
+    bit_sum = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH {_TOKS_CTE},
+{_TOKDICT_CTE},
+ex AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+j AS (
+  SELECT doc_id, tf, (tid * 2654435761) % {2**bits} AS v
+  FROM ex JOIN tokdict USING (term)
+),
+sums AS (SELECT doc_id, {s_cols} FROM j GROUP BY doc_id)
+SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("dedup_simhash", sql=_simhash_sql(16))
+def dedup_simhash(spark, sf_dir):
+    from lucille_spark.ml.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), "doc_id", "text", bits=16)
+
+
+@register("dedup_ngram_jaccard", sql=f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS sh
+  FROM toks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT),
+             4) AS jaccard
+FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    from lucille_spark.ml.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                block_col="lang", n=3, threshold=0.05)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("ann_cosine_top10", sql="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+           AS raw
+  FROM d, q
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank,
+       ROUND(raw, 4) AS cosine
+FROM s ORDER BY raw DESC, vec_id LIMIT 10
+""")
+def ann_cosine_top10(spark, sf_dir):
+    from lucille_spark.ml.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec],
+                       "vec_id", "embedding", k=10)
+
+
+@register("ann_cosine_lsh_top10")  # approximate → rows-only check
+def ann_cosine_lsh_top10(spark, sf_dir):
+    from lucille_spark.ml.similarity import cosine_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk_lsh(emb.filter(F.col("vec_id") != 0),
+                           [float(x) for x in qvec], "vec_id", "embedding",
+                           k=10)
+
+
+@register("text_token_counts", sql=f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+FROM toks
+""")
+def text_token_counts(spark, sf_dir):
+    from lucille_spark.ml.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_quality", sql=f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+       ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to',
+             'in','is','it','for','on'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       ROUND(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             AS DOUBLE) / CAST(length(text) AS DOUBLE), 4) AS alnum_ratio
+FROM toks
+""")
+def text_quality(spark, sf_dir):
+    from lucille_spark.ml.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_fingerprint", sql=f"""
+WITH {_TOKS_CTE},
+{_TOKDICT_CTE},
+ex AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM toks
+)
+SELECT doc_id,
+       CAST(SUM(pos * tid) % 1000000007 AS BIGINT) AS fingerprint
+FROM ex JOIN tokdict USING (term)
+GROUP BY doc_id
+""")
+def text_fingerprint(spark, sf_dir):
+    from lucille_spark.ml.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register("text_langid", sql=f"""
+WITH {_TOKS_CTE},
+h AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(list_distinct(toks),
+      ['der','die','das','und','ist','nicht'])) AS BIGINT) AS hits_de,
+    CAST(len(list_intersect(list_distinct(toks),
+      ['the','a','of','and','to','in','is'])) AS BIGINT) AS hits_en,
+    CAST(len(list_intersect(list_distinct(toks),
+      ['el','la','de','que','y','es'])) AS BIGINT) AS hits_es,
+    CAST(len(list_intersect(list_distinct(toks),
+      ['le','la','de','et','est','que'])) AS BIGINT) AS hits_fr
+  FROM toks
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'unknown'
+       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_es >= hits_fr THEN 'es'
+       ELSE 'fr' END AS predicted
+FROM h
+""")
+def text_langid(spark, sf_dir):
+    from lucille_spark.ml.textstats import language_scores
+
+    return language_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# =========================================================================
+# 6. Stage-layer parity (SURVEY.md §2.4) + relational/connector semantics
+# =========================================================================
+
+@register("stage_field_ops", sql="""
+SELECT doc_id,
+       lang || '|' || source AS lang_source,
+       upper(lang) AS lang_upper,
+       substr(text, 1, 1) AS first_char,
+       rtrim(substr(text, 1, 40)) AS teaser40,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""")
+def stage_field_ops(spark, sf_dir):
+    """Concatenate + NormalizeText + ExtractFirstCharacter + TruncateField
+    (stage/Concatenate.java, NormalizeText.java, TruncateField.java)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 1).alias("first_char"),
+        F.rtrim(F.substring("text", 1, 40)).alias("teaser40"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+@register("stage_regex_ops", sql="""
+SELECT event_id,
+       regexp_extract(props, '([0-9]+)', 1) AS k_val,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_masked
+FROM events
+""")
+def stage_regex_ops(spark, sf_dir):
+    """ApplyRegex + ReplacePatterns (stage/ApplyRegex.java:1-35,
+    stage/ReplacePatterns.java:1-40)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", "([0-9]+)", 1).alias("k_val"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_masked"),
+    )
+
+
+@register("stage_parse_filepath", sql="""
+WITH p AS (
+  SELECT doc_id,
+         'data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS fp
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(fp, '([^/]+)$', 1) AS filename,
+       regexp_extract(fp, '^(.*)/[^/]*$', 1) AS folder,
+       lower(regexp_extract(fp, '\\.([^./]+)$', 1)) AS file_extension
+FROM p
+""")
+def stage_parse_filepath(spark, sf_dir):
+    """ParseFilePath (stage/ParseFilePath.java:1-22)."""
+    from lucille_spark.pipeline.stages import ParseFilePath
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "fp", F.concat(F.lit("data/"), F.col("source"), F.lit("/doc_"),
+                       F.col("doc_id").cast("string"), F.lit(".txt")))
+    out = ParseFilePath(source="fp", include_hierarchy=False).apply(docs)
+    return out.select("doc_id", "filename", "folder", "file_extension")
+
+
+@register("stage_date_ops", sql="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M') AS ts_minute,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(hour(ts) AS BIGINT) AS hr
+FROM events
+""")
+def stage_date_ops(spark, sf_dir):
+    """ParseDate/date handling (stage/ParseDate.java + dateformatters/*)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ts_minute"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+    )
+
+
+@register("collapse_by_key", sql="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""")
+def collapse_by_key(spark, sf_dir):
+    """Publisher collapse semantics (core/PublisherImpl.java:230-247):
+    same-key docs merged; decimal-exact sum keeps engines bit-identical."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        .alias("total_value"),
+    )
+
+
+@register("db_child_join", sql="""
+SELECT o.o_orderkey AS order_key,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_children,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+""")
+def db_child_join(spark, sf_dir):
+    """DatabaseConnector child-document sort-merge join
+    (connector/jdbc/DatabaseConnector.java:289-338) — Catalyst's own
+    sort-merge/broadcast join replaces the hand-rolled cursor merge."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+            .groupBy(orders.o_orderkey.alias("order_key"))
+            .agg(F.count(li.l_orderkey).cast("long").alias("n_children"),
+                 F.sum(li.l_quantity.cast("decimal(18,2)")).cast("double")
+                 .alias("total_qty")))

@@ -1,0 +1,168 @@
+"""Deduplication for large-scale training-data pipelines.
+
+All variants are pure DataFrame plans (no Python in the hot path) designed
+for the 100 TB case:
+
+- exact:     sha256 hash-groupBy (one shuffle on the hash — uniform keys).
+- MinHash:   shingle → arithmetic min-hash signature → banded LSH →
+             bucket-join for candidate pairs (the classic
+             Broder/LSH construction). Hashing is plain integer arithmetic
+             over dictionary token ids so it is reproducible anywhere
+             (including the DuckDB oracle).
+- SimHash:   bitwise majority of per-token hashes weighted by tf.
+- n-gram Jaccard: exact pairwise verification within a blocking key.
+
+At 10^12 docs the token dictionary join switches from dense-rank (used here
+so the oracle can reproduce ids) to a fixed 64-bit string hash — the
+signature algebra is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucille_spark.analysis import tokenize_col
+
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _hash_params(n_hashes: int):
+    # deterministic affine-hash coefficients
+    return [(1 + 7919 * (j + 1), 104729 * (j + 1)) for j in range(n_hashes)]
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_sha256, n_docs, keeper_id) per duplicate group (n>1 = dups)."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_sha256"))
+    return hashed.groupBy("content_sha256").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keeper_id"))
+
+
+def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    w = Window.partitionBy(
+        F.sha2(F.col(text_col).cast("binary"), 256)).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def token_dictionary(df: DataFrame, text_col: str) -> DataFrame:
+    """(term, tid) — dense ids by sorted term (oracle-reproducible).
+
+    Scale note: the rank window is over the *distinct-term* table (lexicon
+    sized, not corpus sized); at extreme vocabularies switch tid to a 64-bit
+    string hash — everything downstream only needs determinism.
+    """
+    terms = (df.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
+             .distinct())
+    w = Window.orderBy("term")
+    return terms.withColumn("tid", F.row_number().over(w).cast("long"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = 8,
+                       tokdict: Optional[DataFrame] = None) -> DataFrame:
+    """(doc_id, h_0..h_{n-1}) — min over distinct tokens of (a*tid+b) mod P."""
+    tokdict = tokdict if tokdict is not None else token_dictionary(df, text_col)
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("term"))
+    joined = ex.join(F.broadcast(tokdict), "term")
+    aggs = [
+        F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P))
+        .cast("long").alias(f"h_{j}")
+        for j, (a, b) in enumerate(_hash_params(n_hashes))
+    ]
+    return joined.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
+                        band_size: int = 2) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    The band-bucket join is the scale move: instead of O(n^2) comparisons,
+    one shuffle on (band_id, band_key)."""
+    n_bands = n_hashes // band_size
+    bands = signatures.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws("_", *[F.col(f"h_{b * band_size + r}")
+                                   for r in range(band_size)]).alias("band_key"))
+            for b in range(n_bands)
+        ])).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (left.join(right, ["band_id", "band_key"])
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16,
+            tokdict: Optional[DataFrame] = None) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted bit-majority fingerprint.
+
+    Bit j of a token hash v is floor(v / 2^j) mod 2 (pure arithmetic, so the
+    DuckDB oracle reproduces it); v = (tid * 2654435761) mod 2^bits."""
+    tokdict = tokdict if tokdict is not None else token_dictionary(df, text_col)
+    ex = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize_col(F.col(text_col))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf")))
+    joined = ex.join(F.broadcast(tokdict), "term").withColumn(
+        "v", (F.col("tid") * F.lit(2654435761)) % F.lit(2 ** bits))
+    bit_sums = joined.groupBy("doc_id").agg(*[
+        F.sum(F.col("tf") * (2 * (F.floor(F.col("v") / F.lit(2 ** j)) % 2) - 1)
+              ).alias(f"s_{j}")
+        for j in range(bits)
+    ])
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(0)
+    return bit_sums.select("doc_id", out.alias("simhash"))
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Array of n-gram token shingles (strings), JVM-side."""
+    toks = tokenize_col(F.col(text_col))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_col: str, n: int = 3,
+                        threshold: float = 0.0) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within a blocking key.
+
+    (doc_a, doc_b, jaccard) for pairs above threshold. The blocking column
+    bounds the quadratic term; for unblocked corpora use
+    minhash + lsh_candidate_pairs first and this as the verify step."""
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(block_col).alias("block"),
+                     F.array_distinct(shingles_col(text_col, n)).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (a.join(b, "block")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

@@ -1,0 +1,116 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language-ID heuristics, document fingerprinting.
+
+Everything is built from pyspark.sql.functions (JVM-side); ratios are
+exact-integer divisions so the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucille_spark.analysis import tokenize_col
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens, n_tokens_bpe)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(text), r"\s+")).cast("long").alias("n_tokens_ws"),
+        F.size(tokenize_col(text)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+               ).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str,
+                   stopwords: Sequence[str] = STOPWORDS) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    alnum_ratio) — the classic cheap quality filters (C4/Gopher-style)."""
+    text = F.col(text_col)
+    toks = tokenize_col(text)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))
+                    ).cast("long")
+    tok_chars = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                            F.lit(0), lambda acc, x: acc + x).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_alnum = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+                       ).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars.cast("double") / n_tok.cast("double"), 4
+                ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tok.cast("double"), 4
+                ).alias("stopword_ratio"),
+        F.round(n_alnum.cast("double") / n_chars.cast("double"), 4
+                ).alias("alnum_ratio"),
+    )
+
+
+FP_P = 1000000007
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str,
+                 tokdict: Optional[DataFrame] = None) -> DataFrame:
+    """(doc_id, fingerprint) — order-sensitive positional hash
+    sum(pos * tid) mod P over the token stream (a rolling-hash family member
+    that both engines can compute with exact integer arithmetic)."""
+    from lucille_spark.ml.dedup import token_dictionary
+
+    tokdict = tokdict if tokdict is not None else token_dictionary(df, text_col)
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "term"))
+    joined = ex.join(F.broadcast(tokdict), "term")
+    return joined.groupBy("doc_id").agg(
+        (F.sum((F.col("pos") + 1) * F.col("tid")) % F.lit(FP_P))
+        .cast("long").alias("fingerprint"))
+
+
+LANG_PROFILES: Dict[str, Sequence[str]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est", "que"),
+}
+
+
+def language_scores(df: DataFrame, id_col: str, text_col: str,
+                    profiles: Dict[str, Sequence[str]] = None) -> DataFrame:
+    """(doc_id, hits_<lang>..., predicted) — stopword-profile language ID.
+    Ties break lexicographically by language code (deterministic)."""
+    profiles = profiles or LANG_PROFILES
+    toks = F.array_distinct(tokenize_col(F.col(text_col)))
+    cols = [F.col(id_col).alias("doc_id")]
+    structs = []
+    for lang in sorted(profiles):
+        arr = F.array(*[F.lit(w) for w in profiles[lang]])
+        hits = F.size(F.array_intersect(toks, arr)).cast("long")
+        cols.append(hits.alias(f"hits_{lang}"))
+        # max-struct ordering: hits desc, then REVERSED lang asc via struct max
+        structs.append(F.struct(hits.alias("h"), F.lit(lang).alias("lang")))
+    out = df.select(*cols, F.array(*structs).alias("_s"))
+    # pick max hits; tie → smallest lang code: sort by (h desc, lang asc)
+    best = F.element_at(
+        F.array_sort(
+            "_s", lambda a, b:
+            F.when(a["h"] > b["h"], -1).when(a["h"] < b["h"], 1)
+            .when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1)
+            .otherwise(0)), 1)
+    return out.withColumn(
+        "predicted",
+        F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    ).drop("_s")
