@@ -1,0 +1,132 @@
+"""Benchmark driver: index-build throughput + BM25 query latency + the
+two-parallelism scaling-efficiency evidence (north rule, BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "index_docs_per_sec": ..., "scaling": {...}}
+
+Headline run: build the full compressed index over the documents table at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], then time WAND queries, the DataFrame BM25
+executor, dedup and ANN ops.
+
+Scaling evidence: the same index-build job on the deterministic F1 corpus at
+local[N_LOW] vs local[N_HIGH] (8 vs 32 = the sandbox stand-in for N vs 4N
+executors), each in its own JVM via tools/bench_worker.py. Throughput at
+both levels + efficiency are reported here and in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+
+WAND_QUERIES = {
+    "wand_or": "content:batch OR content:window",
+    "wand_and": "content:hash AND content:merge",
+    "wand_single": "content:data",
+    "wand_rare": "content:dup",
+    "wand_phrase": 'content:"key order"',
+    "wand_bool": "content:merge AND -(content:dup OR content:vector)",
+}
+
+
+def main():
+    from lucille_spark.session import get_spark
+    from lucille_spark.corpus import documents_as_corpus
+    from lucille_spark.index.builder import build_index
+    from lucille_spark.query.searcher import IndexSearcher
+
+    t_suite = time.time()
+    queries: dict = {}
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    idx_dir = tempfile.mkdtemp(prefix="lucille_bench_idx_")
+    try:
+        # --- headline: index build over the sf documents corpus ----------
+        t0 = time.time()
+        stats = build_index(documents_as_corpus(spark, SF_DIR), idx_dir,
+                            fields=("content",), store_positions=True)
+        build_sec = time.time() - t0
+        n_docs = stats["n_docs"]
+        queries["index_build"] = round(build_sec, 3)
+
+        searcher = IndexSearcher(idx_dir)
+        for name, q in WAND_QUERIES.items():
+            t0 = time.time()
+            searcher.search(q, k=10)
+            queries[name] = round(time.time() - t0, 4)
+
+        # --- distributed DataFrame BM25 (the no-index scan path) ---------
+        from lucille_spark.gate import (
+            ann_cosine_top10, bm25_or, dedup_exact, dedup_minhash_signatures,
+            text_quality,
+        )
+
+        for name, fn in [("bm25_df_or", bm25_or),
+                         ("dedup_exact", dedup_exact),
+                         ("dedup_minhash", dedup_minhash_signatures),
+                         ("ann_cosine", ann_cosine_top10),
+                         ("text_quality", text_quality)]:
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            queries[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+    # --- scaling evidence: same job, two cluster sizes ------------------
+    scaling = None
+    if RUN_SCALING:
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_worker.py"),
+                 str(cpus), str(SCALE_DOCS)],
+                capture_output=True, text=True, timeout=1200)
+            line = out.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        thr_low = results[8]["docs_per_sec"]
+        thr_high = results[32]["docs_per_sec"]
+        scaling = {
+            "n_docs": SCALE_DOCS,
+            "cpus_low": 8, "docs_per_sec_low": thr_low,
+            "cpus_high": 32, "docs_per_sec_high": thr_high,
+            "speedup": round(thr_high / thr_low, 3),
+            "efficiency": round(thr_high / thr_low / 4.0, 3),
+        }
+        queries["scaling_low_build"] = results[8]["build_sec"]
+        queries["scaling_high_build"] = results[32]["build_sec"]
+
+    out = {
+        "metric": ("index-build docs/sec + BM25 WAND top-k latency + "
+                   "dedup/ANN suite; scaling via local[8] vs local[32]"),
+        "value": round(time.time() - t_suite, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / build_sec, 1),
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

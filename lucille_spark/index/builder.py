@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
@@ -68,35 +69,50 @@ def add_doc_identity(corpus: DataFrame) -> DataFrame:
 
 
 def _encode_factory(avgdl: float, block_size: int, store_positions: bool):
+    """applyInPandas kernel for one (field, term, salt) group of RAW TOKEN
+    OCCURRENCES (doc_ord, pos, dl): does the per-doc aggregation (tf,
+    positions) AND block encoding in one vectorized NumPy pass — the
+    doc-grouping that a separate groupBy(term, doc_ord) shuffle would do is
+    a lexsort here, saving an entire corpus-sized shuffle."""
     k1, b = BM25_K1, BM25_B
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_ord")
         field = pdf["field"].iat[0]
         term = pdf["term"].iat[0]
         salt = int(pdf["salt"].iat[0])
-        docs = pdf["doc_ord"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        doc_raw = pdf["doc_ord"].to_numpy(dtype=np.int64)
+        pos_raw = pdf["pos"].to_numpy(dtype=np.int64)
+        dl_raw = pdf["dl"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos_raw, doc_raw))
+        doc_sorted = doc_raw[order]
+        pos_sorted = pos_raw[order].astype(np.uint64)
+        docs, starts, tfs = np.unique(doc_sorted, return_index=True,
+                                      return_counts=True)
+        dls = dl_raw[order][starts]
         tfnorm = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        poslists = pdf["positions"].tolist() if store_positions else None
+        n = docs.size
         rows = []
-        for seq, start in enumerate(range(0, len(pdf), block_size)):
-            end = min(start + block_size, len(pdf))
-            bdocs = docs[start:end].astype(np.uint64)
-            btfs = tfs[start:end].astype(np.uint64)
-            bdls = dls[start:end].astype(np.uint64)
+        for seq, s in enumerate(range(0, n, block_size)):
+            e = min(s + block_size, n)
+            bdocs = docs[s:e].astype(np.uint64)
+            btfs = tfs[s:e].astype(np.uint64)
+            bdls = dls[s:e].astype(np.uint64)
+            if store_positions:
+                flat = pos_sorted[starts[s]:(starts[e] if e < n
+                                             else doc_sorted.size)]
+                positions = codecs.encode_positions_flat(flat, tfs[s:e])
+            else:
+                positions = None
             rows.append({
                 "field": field, "term": term, "salt": salt, "block_seq": seq,
-                "first_doc": int(docs[start]), "last_doc": int(docs[end - 1]),
-                "n_docs": end - start, "sum_tf": int(btfs.sum()),
+                "first_doc": int(docs[s]), "last_doc": int(docs[e - 1]),
+                "n_docs": e - s, "sum_tf": int(btfs.sum()),
                 "doc_gaps": codecs.encode_block_docs(bdocs),
                 "tfs": codecs.vbyte_encode(btfs),
                 "dls": codecs.vbyte_encode(bdls),
-                "positions": (codecs.encode_positions(poslists[start:end])
-                              if store_positions else None),
+                "positions": positions,
                 "block_max_tf": int(btfs.max()),
-                "block_max_tfnorm": float(tfnorm[start:end].max()),
+                "block_max_tfnorm": float(tfnorm[s:e].max()),
             })
         return pd.DataFrame(rows)
 
@@ -124,14 +140,33 @@ def build_index(
     if resume and _lineage_complete(spark, out_dir, run_id):
         return _read_stats(spark, out_dir)
 
-    ident = add_doc_identity(corpus)
-    docs = assign_doc_ord(ident, "doc_id")
+    # AQE's stage-at-a-time execution inserts a driver planning pause after
+    # every shuffle — measured ~50s of pure driver latency on a 100k-doc
+    # build. The build handles skew explicitly (salting), partition counts
+    # are chosen statically, so AQE buys nothing here. Disable for the
+    # build's jobs and restore afterwards.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    # per-field token arrays + dl columns, cached once for all downstream aggs
+    timing = os.environ.get("LUCILLE_TIMING")
+    _t = [time.time()]
+
+    def _mark(label):
+        if timing:
+            now = time.time()
+            print(f"[build_index] {label}: {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
+
+    # Cache discipline: persist ONLY narrow-ish data (source columns + ids,
+    # never token arrays — caching 100s of tokens/doc costs more than
+    # re-running the codegen'd lower+split). ident materializes on the
+    # ordinal bucket-count pass; docs (with doc_ord attached) materializes on
+    # the doc_stats write, so the ordinal window shuffle runs exactly once.
+    ident = add_doc_identity(corpus).persist()
+    docs = assign_doc_ord(ident, "doc_id")
     for f_name in fields:
-        docs = docs.withColumn(f"_toks_{f_name}", tokenize_col(F.col(f_name)))
         docs = docs.withColumn(f"dl_{f_name}",
-                               F.size(F.col(f"_toks_{f_name}")).cast("long"))
+                               F.size(tokenize_col(F.col(f_name))).cast("long"))
     docs = docs.persist()
 
     # --- doc_stats + corpus_stats ---------------------------------------
@@ -140,12 +175,17 @@ def build_index(
     ] + ["content_sha256"]
     docs.select(*stat_cols).write.mode("overwrite").parquet(
         os.path.join(out_dir, "doc_stats"))
+    ident.unpersist()  # docs cache is materialized now; ident no longer needed
+    _mark("ordinals + doc_stats write")
 
+    # one combined job for N + all per-field token sums
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in fields]).collect()[0]
+    n_docs = int(agg["n"])
     cs_rows = []
-    n_docs = docs.count()
     for f_name in fields:
-        agg = docs.agg(F.sum(f"dl_{f_name}").alias("total")).collect()[0]
-        total = int(agg["total"] or 0)
+        total = int(agg[f"total_{f_name}"] or 0)
         # exact integer sum / count: avgdl is bit-identical at any parallelism
         cs_rows.append((f_name, n_docs, total / n_docs if n_docs else 0.0,
                         total))
@@ -154,31 +194,31 @@ def build_index(
     corpus_stats.write.mode("overwrite").parquet(
         os.path.join(out_dir, "corpus_stats"))
     avgdl_by_field = {r[0]: r[2] for r in cs_rows}
+    _mark("corpus stats")
 
-    # --- postings per field ----------------------------------------------
+    # --- postings per field (ONE corpus-sized shuffle per field) ----------
     all_blocks = None
     for f_name in fields:
         toks = docs.select(
             F.lit(f_name).alias("field"), "doc_ord",
             F.col(f"dl_{f_name}").alias("dl"),
-            F.posexplode(f"_toks_{f_name}").alias("pos", "term"),
+            F.posexplode(tokenize_col(F.col(f_name))).alias("pos", "term"),
         )
-        postings_raw = (
-            toks.groupBy("field", "term", "doc_ord")
-            .agg(F.count("*").cast("long").alias("tf"),
-                 F.first("dl").alias("dl"),
-                 F.sort_array(F.collect_list("pos")).alias("positions"))
-        )
-        # adaptive salting: broadcast the (small) hot-term table
+        # adaptive salting keyed on COLLECTION frequency (cf >= df, so this
+        # triggers at least as often as a df rule — conservative is fine).
+        # The cf agg combines map-side, so its shuffle is lexicon-sized, and
+        # the hot table is provably small (<= total_tokens / tokens_per_salt)
+        # -> broadcast join, no shuffle.
+        tokens_per_salt = docs_per_salt
         hot = (
-            postings_raw.groupBy("field", "term").count()
-            .filter(F.col("count") > docs_per_salt)
+            toks.groupBy("field", "term").count()
+            .filter(F.col("count") > tokens_per_salt)
             .withColumn("n_salts",
-                        F.ceil(F.col("count") / docs_per_salt).cast("int"))
+                        F.ceil(F.col("count") / tokens_per_salt).cast("int"))
             .drop("count")
         )
         salted = (
-            postings_raw.join(F.broadcast(hot), ["field", "term"], "left")
+            toks.join(F.broadcast(hot), ["field", "term"], "left")
             .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
             .withColumn(
                 "salt",
@@ -198,6 +238,7 @@ def build_index(
      .sortWithinPartitions("field", "term", "salt", "block_seq")
      .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
 
+    _mark("postings encode + write")
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     lexicon = (
         postings.groupBy("field", "term")
@@ -208,8 +249,10 @@ def build_index(
     )
     lexicon.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))
 
+    _mark("lexicon")
     _write_lineage(spark, out_dir, run_id, n_docs)
     docs.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return {"n_docs": n_docs, "avgdl": avgdl_by_field,
             "fields": list(fields), "out_dir": out_dir}
 

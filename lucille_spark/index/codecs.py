@@ -109,15 +109,49 @@ def decode_block_tfs(data: bytes) -> np.ndarray:
     return vbyte_decode(data)
 
 
-def encode_positions(positions_per_doc: list) -> bytes:
-    """Per-doc sorted position arrays -> [len, delta-positions...] stream."""
-    parts = []
-    for p in positions_per_doc:
-        arr = np.asarray(p, dtype=np.uint64)
-        parts.append(np.concatenate(([np.uint64(arr.size)], delta_encode(arr))))
-    if not parts:
+def encode_positions_flat(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """[len, delta-positions...] stream from a flat sorted-position array and
+    per-doc lengths — the zero-copy variant used by the index build."""
+    n_docs = int(lens.size)
+    if n_docs == 0:
         return b""
-    return vbyte_encode(np.concatenate(parts))
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return vbyte_encode(np.zeros(n_docs, dtype=np.uint64))
+    starts = np.cumsum(lens) - lens
+    deltas = np.empty(total, dtype=np.uint64)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    nz = starts[lens > 0]
+    deltas[nz] = flat[nz]
+    out = np.empty(total + n_docs, dtype=np.uint64)
+    out_starts = starts + np.arange(n_docs)
+    out[out_starts] = lens.astype(np.uint64)
+    mask = np.ones(total + n_docs, dtype=bool)
+    mask[out_starts] = False
+    out[mask] = deltas
+    return vbyte_encode(out)
+
+
+def encode_positions(positions_per_doc: list) -> bytes:
+    """Per-doc sorted position arrays -> [len, delta-positions...] stream.
+
+    Fully vectorized: one flat concatenation + segment-wise delta encoding
+    (no per-doc NumPy calls — this runs once per 128-doc block inside the
+    index build's hottest pandas UDF)."""
+    n_docs = len(positions_per_doc)
+    if n_docs == 0:
+        return b""
+    lens = np.fromiter((len(p) for p in positions_per_doc), dtype=np.int64,
+                       count=n_docs)
+    if int(lens.sum()) == 0:
+        flat = np.empty(0, dtype=np.uint64)
+    else:
+        flat = np.concatenate([np.asarray(p, dtype=np.uint64)
+                               for p in positions_per_doc if len(p)])
+    return encode_positions_flat(flat, lens)
 
 
 def decode_positions(data: bytes, n_docs: int) -> list:

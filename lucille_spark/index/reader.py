@@ -129,8 +129,16 @@ class TermCursor:
         self._docs = codecs.decode_block_docs(row["doc_gaps"]).astype(np.int64)
         self._tfs = codecs.vbyte_decode(row["tfs"]).astype(np.int64)
         self._dls = codecs.vbyte_decode(row["dls"]).astype(np.int64)
+        self._poss = None  # positions decoded lazily per block
         self.pos = 0
         self.doc = int(self._docs[0])
+
+    def positions(self) -> np.ndarray:
+        """Positions of the current doc (block-lazily decoded)."""
+        if self._poss is None:
+            raw = self._blocks.iloc[self.bi]["positions"]
+            self._poss = codecs.decode_positions(raw, len(self._docs))
+        return self._poss[self.pos]
 
     def next(self):
         if self.doc == SENTINEL:

@@ -181,20 +181,38 @@ class IndexSearcher:
         raise TypeError(f"unknown node {node!r}")
 
     def _phrase_docs(self, p: Phrase) -> Set[int]:
-        per_term = []
-        for t in p.terms:
-            docs, _, _, poss = self._term_postings(p.field, t, positions=True)
-            per_term.append({int(d): set(int(x) for x in poss[i])
-                             for i, d in enumerate(docs)})
-        candidates = set(per_term[0])
-        for m in per_term[1:]:
-            candidates &= set(m)
-        out = set()
-        for d in candidates:
-            first = per_term[0][d]
-            if any(all((pos + off) in per_term[off][d]
-                       for off in range(len(p.terms))) for pos in first):
+        """Positional phrase match via leapfrog intersection: blocks are
+        skipped with the doc fences and positions are decoded only for
+        blocks the intersection actually lands in — phrase cost is
+        O(candidate docs), not O(sum of term dfs)."""
+        import numpy as np
+
+        from lucille_spark.index.reader import TermCursor
+
+        cursors = [TermCursor(self.reader, p.field, t) for t in p.terms]
+        if any(c.df == 0 for c in cursors):
+            return set()
+        out: Set[int] = set()
+        d = max(c.doc for c in cursors)
+        while d < SENTINEL:
+            aligned = True
+            for c in cursors:
+                nd = c.next_geq(d)
+                if nd != d:
+                    d = nd
+                    aligned = False
+                    break
+            if not aligned:
+                continue
+            cand = cursors[0].positions().astype(np.int64)
+            for off in range(1, len(cursors)):
+                if cand.size == 0:
+                    break
+                nxt = cursors[off].positions().astype(np.int64)
+                cand = cand[np.isin(cand + off, nxt)]
+            if cand.size:
                 out.add(d)
+            d += 1
         return out
 
     def _score_candidates(self, node, k: int):

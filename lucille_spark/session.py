@@ -28,6 +28,9 @@ def get_spark(app: str = "lucille-spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # batch-throughput GC beats G1 for shuffle-heavy single-JVM runs
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
     )
     for k, v in extra.items():
         b = b.config(k, v)

@@ -73,17 +73,17 @@ def test_lexicon_matches_oracle(spark, index_dir, oracle):
 
 
 def test_salting_engaged(spark, index_dir):
-    # hot terms (df > 64) must be split across >1 salt
+    # hot terms (cf > docs_per_salt=64) must be split across >1 salt
     from pyspark.sql import functions as F
 
     post = spark.read.parquet(f"{index_dir}/postings")
     salted = (post.groupBy("field", "term")
               .agg(F.countDistinct("salt").alias("n_salts"),
-                   F.sum("n_docs").alias("df")))
-    hot = salted.filter("df > 130").collect()
+                   F.sum("sum_tf").alias("cf")))
+    hot = salted.filter("cf > 130").collect()
     assert hot, "corpus should have hot terms"
     assert all(r["n_salts"] > 1 for r in hot)
-    cold = salted.filter("df <= 64").collect()
+    cold = salted.filter("cf <= 64").collect()
     assert all(r["n_salts"] == 1 for r in cold)
 
 

@@ -1,0 +1,92 @@
+"""One benchmark run at a fixed parallelism, in its own JVM.
+
+Usage: python tools/bench_worker.py CPUS N_DOCS [sf_dir]
+Prints one JSON line: build seconds, docs/sec, per-query WAND latency.
+
+Used by bench.py both for the headline numbers and for the two-cluster-size
+scaling-efficiency evidence (local[8] vs local[32] standing in for N vs 4N
+executors; the job is identical, only parallelism changes, and the produced
+index is byte-identical by construction — see index/ordinals.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# query sets per corpus vocabulary
+DOCS_QUERIES = {
+    "wand_or": "content:batch OR content:window",
+    "wand_and": "content:hash AND content:merge",
+    "wand_single_hot": "content:data",
+    "wand_rare": "content:dup",
+    "wand_phrase": 'content:"key order"',
+}
+F1_QUERIES = {
+    "wand_or": "content:test OR content:giraffe",
+    "wand_and": "content:return AND content:import",
+    "wand_single_hot": "content:if",
+    "wand_rare": "content:koala",
+    "wand_phrase": 'content:"return import"',
+}
+
+
+def main():
+    cpus = int(sys.argv[1])
+    n_docs = int(sys.argv[2])
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from lucille_spark.session import get_spark
+    from lucille_spark.index.builder import build_index
+
+    spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    out = tempfile.mkdtemp(prefix=f"lucille_bench_{cpus}_")
+    try:
+        if sf_dir:
+            from lucille_spark.corpus import documents_as_corpus
+
+            corpus = documents_as_corpus(spark, sf_dir)
+            n_docs_actual = None
+        else:
+            from lucille_spark.corpus import corpus_df
+
+            corpus = corpus_df(spark, n_docs, partitions=cpus * 2)
+            n_docs_actual = n_docs
+
+        t0 = time.time()
+        stats = build_index(corpus, out, fields=("content",),
+                            store_positions=True)
+        build_sec = time.time() - t0
+        n = stats["n_docs"] if n_docs_actual is None else n_docs_actual
+
+        from lucille_spark.query.searcher import IndexSearcher
+
+        searcher = IndexSearcher(out)
+        qtimes = {}
+        queries = DOCS_QUERIES if sf_dir else F1_QUERIES
+        for name, q in queries.items():
+            t0 = time.time()
+            hits = searcher.search(q, k=10)
+            qtimes[name] = round(time.time() - t0, 4)
+            assert hits or "rare" in name or "phrase" in name
+
+        lex_rows = spark.read.parquet(os.path.join(out, "lexicon")).count()
+        print(json.dumps({
+            "cpus": cpus, "n_docs": n, "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(n / build_sec, 1),
+            "lexicon_terms": lex_rows,
+            "query_sec": qtimes,
+        }))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
