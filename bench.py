@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "200000"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 
 WAND_QUERIES = {

@@ -1,0 +1,58 @@
+"""Cluster entrypoint: run a BM25 query (or a query-set file) against a
+built index.
+
+Single query (driver-side block-max WAND, no Spark job):
+    spark-submit --py-files lucille_spark.zip jobs/query_job.py \
+        --index /path/to/index --query 'content:giraffe AND content:test' -k 10
+
+Query batch (distributed — queries are the unit of parallelism):
+    ... --index /path/to/index --query-file queries.tsv --out results/
+    (TSV: query_id<TAB>query)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query")
+    ap.add_argument("--query-file")
+    ap.add_argument("--out")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--default-field", default="content")
+    args = ap.parse_args()
+
+    if args.query:
+        from lucille_spark.query.searcher import IndexSearcher
+
+        searcher = IndexSearcher(args.index, args.default_field)
+        for rank, (doc_id, score) in enumerate(
+                searcher.search(args.query, args.k), 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id,
+                              "score": round(score, 6)}))
+        return
+
+    from pyspark.sql import SparkSession
+
+    from lucille_spark.query.executor_df import search_batch
+
+    spark = SparkSession.builder.appName("lucille-query-batch").getOrCreate()
+    queries = []
+    with open(args.query_file) as fh:
+        for line in fh:
+            qid, q = line.rstrip("\n").split("\t", 1)
+            queries.append((qid, q))
+    res = search_batch(spark, args.index, queries, k=args.k,
+                       default_field=args.default_field)
+    if args.out:
+        res.write.mode("overwrite").parquet(args.out)
+    else:
+        res.show(100, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,8 @@ def add_doc_identity(corpus: DataFrame) -> DataFrame:
     ).withColumn("content_sha256", F.sha2(F.col("content").cast("binary"), 256))
 
 
-def _encode_factory(avgdl: float, block_size: int, store_positions: bool):
+def _encode_factory(avgdl: float, block_size: int, store_positions: bool,
+                    field: str = "content"):
     """applyInPandas kernel for one (field, term, salt) group of RAW TOKEN
     OCCURRENCES (doc_ord, pos, dl): does the per-doc aggregation (tf,
     positions) AND block encoding in one vectorized NumPy pass — the
@@ -77,7 +78,6 @@ def _encode_factory(avgdl: float, block_size: int, store_positions: bool):
     k1, b = BM25_K1, BM25_B
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        field = pdf["field"].iat[0]
         term = pdf["term"].iat[0]
         salt = int(pdf["salt"].iat[0])
         doc_raw = pdf["doc_ord"].to_numpy(dtype=np.int64)
@@ -199,11 +199,13 @@ def build_index(
     # --- postings per field (ONE corpus-sized shuffle per field) ----------
     all_blocks = None
     for f_name in fields:
+        # shuffle-byte diet: no constant field column (reattached in the
+        # kernel), int32 for pos/dl (pos < dl < 2^31 always)
         toks = docs.select(
-            F.lit(f_name).alias("field"), "doc_ord",
-            F.col(f"dl_{f_name}").alias("dl"),
+            "doc_ord",
+            F.col(f"dl_{f_name}").cast("int").alias("dl"),
             F.posexplode(tokenize_col(F.col(f_name))).alias("pos", "term"),
-        )
+        ).withColumn("pos", F.col("pos").cast("int"))
         # adaptive salting keyed on COLLECTION frequency (cf >= df, so this
         # triggers at least as often as a df rule — conservative is fine).
         # The cf agg combines map-side, so its shuffle is lexicon-sized, and
@@ -211,14 +213,14 @@ def build_index(
         # -> broadcast join, no shuffle.
         tokens_per_salt = docs_per_salt
         hot = (
-            toks.groupBy("field", "term").count()
+            toks.groupBy("term").count()
             .filter(F.col("count") > tokens_per_salt)
             .withColumn("n_salts",
                         F.ceil(F.col("count") / tokens_per_salt).cast("int"))
             .drop("count")
         )
         salted = (
-            toks.join(F.broadcast(hot), ["field", "term"], "left")
+            toks.join(F.broadcast(hot), ["term"], "left")
             .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
             .withColumn(
                 "salt",
@@ -227,8 +229,8 @@ def build_index(
             .drop("n_salts")
         )
         enc = _encode_factory(avgdl_by_field[f_name], block_size,
-                              store_positions)
-        blocks = salted.groupBy("field", "term", "salt").applyInPandas(
+                              store_positions, field=f_name)
+        blocks = salted.groupBy("term", "salt").applyInPandas(
             enc, schema=POSTINGS_SCHEMA)
         all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
 

@@ -204,13 +204,15 @@ class IndexSearcher:
                     break
             if not aligned:
                 continue
-            cand = cursors[0].positions().astype(np.int64)
+            # per-doc position lists are tiny (tf-sized): plain set ops beat
+            # numpy's per-call overhead by ~100x here
+            cand = cursors[0].positions().tolist()
             for off in range(1, len(cursors)):
-                if cand.size == 0:
+                if not cand:
                     break
-                nxt = cursors[off].positions().astype(np.int64)
-                cand = cand[np.isin(cand + off, nxt)]
-            if cand.size:
+                nxt = set(cursors[off].positions().tolist())
+                cand = [p for p in cand if p + off in nxt]
+            if cand:
                 out.add(d)
             d += 1
         return out
