@@ -7,20 +7,20 @@ Dataflow (all DataFrame; Python appears only in Arrow-vectorized UDFs):
 
   corpus(repo,path,commit,lang,content)
     -> doc_id = sha256(repo \\x00 path \\x00 commit), content_sha256  [narrow]
-    -> dense doc_ord (ordinals.py)                                    [1 count + windows]
-    -> tokenize (JVM-side split) -> posexplode -> (field,term,doc_ord,pos)
-    -> groupBy(field,term,doc_ord): tf + sorted positions   [shuffle #1 — key
-       includes doc_ord so hot terms are spread across all reducers]
-    -> df-per-term agg (map-side partial combine)           [shuffle #2 — tiny]
-    -> SALTING: terms with df > docs_per_salt get n_salts = ceil(df/docs_per_salt)
-       via a *broadcast* join (hot-term table is provably small:
-       |hot| <= total_postings / docs_per_salt); salt = doc_ord range bucket
+    -> dense doc_ord (ordinals.py)                       [1 count + window]
+    -> tokenize (regexp_extract_all, JVM codegen) -> posexplode
+       -> (term, doc_ord, pos:int32, dl:int32)           [narrow]
+    -> cf-per-term agg (map-side partial combine)        [tiny shuffle]
+    -> SALTING: terms with cf > docs_per_salt get n_salts = ceil(cf/dps)
+       via a *broadcast* join (hot table provably small:
+       |hot| <= total_tokens / docs_per_salt); salt = doc_ord range bucket
        so per-salt doc ranges are disjoint and globally ordered
-    -> groupBy(field,term,salt) applyInPandas encode        [shuffle #3 — the
-       big sort-by-term; salting bounds every group to ~docs_per_salt rows]
-       -> 128-doc blocks: delta+varbyte doc gaps, varbyte tfs, varbyte dls,
-          optional varbyte positions, block_max_tf, block_max_tfnorm
-    -> lexicon = blocks.groupBy(field,term).agg(...)        [shuffle #4 — tiny]
+    -> groupBy(term, salt) applyInPandas encode  [the ONE corpus-sized
+       shuffle; salting bounds every group]. The kernel lexsorts the raw
+       token occurrences, aggregates per-doc (tf, positions) via np.unique,
+       and emits 128-doc blocks: delta+varbyte doc gaps, varbyte tfs,
+       varbyte dls, optional varbyte positions, block_max_tf/tfnorm
+    -> lexicon = blocks.groupBy(field,term).agg(...)     [tiny shuffle]
 
 Output tables (parquet dir layout; Iceberg would add snapshots, the layout
 is Iceberg-compatible):
@@ -137,7 +137,8 @@ def build_index(
     tests shrink it to force the salted path.
     """
     spark = corpus.sparkSession
-    if resume and _lineage_complete(spark, out_dir, run_id):
+    ledger = _Ledger(spark, out_dir, run_id)
+    if resume and ledger.done("lexicon"):
         return _read_stats(spark, out_dir)
 
     # AQE's stage-at-a-time execution inserts a driver planning pause after
@@ -173,32 +174,44 @@ def build_index(
     stat_cols = ["doc_id", "doc_ord"] + [f"dl_{f}" for f in fields] + [
         c for c in ("repo", "path", "commit", "lang") if c in corpus.columns
     ] + ["content_sha256"]
-    docs.select(*stat_cols).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "doc_stats"))
+    t_stage = time.time()
+    if not (resume and ledger.done("doc_stats")):
+        docs.select(*stat_cols).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_stats"))
+        ledger.record("doc_stats", -1, t_stage)
     ident.unpersist()  # docs cache is materialized now; ident no longer needed
     _mark("ordinals + doc_stats write")
 
-    # one combined job for N + all per-field token sums
-    agg = docs.agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in fields]).collect()[0]
-    n_docs = int(agg["n"])
-    cs_rows = []
-    for f_name in fields:
-        total = int(agg[f"total_{f_name}"] or 0)
-        # exact integer sum / count: avgdl is bit-identical at any parallelism
-        cs_rows.append((f_name, n_docs, total / n_docs if n_docs else 0.0,
-                        total))
-    corpus_stats = spark.createDataFrame(
-        cs_rows, "field string, n_docs long, avgdl double, total_terms long")
-    corpus_stats.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "corpus_stats"))
-    avgdl_by_field = {r[0]: r[2] for r in cs_rows}
+    t_stage = time.time()
+    if resume and ledger.done("corpus_stats"):
+        cs = spark.read.parquet(os.path.join(out_dir, "corpus_stats")).collect()
+        n_docs = int(cs[0]["n_docs"]) if cs else 0
+        avgdl_by_field = {r["field"]: r["avgdl"] for r in cs}
+    else:
+        # one combined job for N + all per-field token sums
+        agg = docs.agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in fields]).collect()[0]
+        n_docs = int(agg["n"])
+        cs_rows = []
+        for f_name in fields:
+            total = int(agg[f"total_{f_name}"] or 0)
+            # exact integer sum / count: avgdl bit-identical at any parallelism
+            cs_rows.append((f_name, n_docs, total / n_docs if n_docs else 0.0,
+                            total))
+        corpus_stats = spark.createDataFrame(
+            cs_rows, "field string, n_docs long, avgdl double, total_terms long")
+        corpus_stats.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "corpus_stats"))
+        avgdl_by_field = {r[0]: r[2] for r in cs_rows}
+        ledger.record("corpus_stats", n_docs, t_stage)
     _mark("corpus stats")
 
     # --- postings per field (ONE corpus-sized shuffle per field) ----------
+    t_stage = time.time()
+    skip_postings = resume and ledger.done("postings")
     all_blocks = None
-    for f_name in fields:
+    for f_name in fields if not skip_postings else []:
         # shuffle-byte diet: no constant field column (reattached in the
         # kernel), int32 for pos/dl (pos < dl < 2^31 always)
         toks = docs.select(
@@ -234,12 +247,13 @@ def build_index(
             enc, schema=POSTINGS_SCHEMA)
         all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
 
-    # term-sorted layout → parquet row-group min/max stats prune term lookups
-    (all_blocks.repartitionByRange(
-        max(spark.sparkContext.defaultParallelism, 8), "field", "term")
-     .sortWithinPartitions("field", "term", "salt", "block_seq")
-     .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
-
+    if not skip_postings:
+        # term-sorted layout → parquet row-group min/max stats prune lookups
+        (all_blocks.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "field", "term")
+         .sortWithinPartitions("field", "term", "salt", "block_seq")
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
+        ledger.record("postings", -1, t_stage)
     _mark("postings encode + write")
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     lexicon = (
@@ -249,39 +263,57 @@ def build_index(
              F.count("*").cast("int").alias("n_blocks"),
              F.max("block_max_tfnorm").alias("max_tfnorm"))
     )
+    t_stage = time.time()
     lexicon.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))
+    ledger.record("lexicon", n_docs, t_stage)
 
     _mark("lexicon")
-    _write_lineage(spark, out_dir, run_id, n_docs)
     docs.unpersist()
     spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return {"n_docs": n_docs, "avgdl": avgdl_by_field,
             "fields": list(fields), "out_dir": out_dir}
 
 
-# --- lineage / resume ------------------------------------------------------
+# --- lineage / metrics / resume ---------------------------------------------
+#
+# Mirrors the reference's two checkpoint mechanisms: Kafka offset commits
+# (core/Worker.java:188-197) and the FileConnector state DB
+# (connector/FileConnectorStateManager.java:1-315). Granularity here is the
+# STAGE (each stage's parquet overwrite is atomic via the commit protocol);
+# WITHIN a stage, per-partition recovery is Spark's native task retry.
+# ``resume=True`` + same run_id skips stages whose lineage row is complete.
+
+LINEAGE_SCHEMA = ("run_id string, stage string, n_rows long, status string, "
+                  "started_at double, finished_at double, seconds double")
+
 
 def _lineage_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
 
-def _write_lineage(spark: SparkSession, out_dir: str, run_id: str,
-                   n_docs: int) -> None:
-    spark.createDataFrame(
-        [(run_id, "index_build", n_docs, "complete")],
-        "run_id string, stage string, n_docs long, status string",
-    ).write.mode("append").parquet(_lineage_path(out_dir))
+class _Ledger:
+    def __init__(self, spark: SparkSession, out_dir: str, run_id: str):
+        self.spark, self.run_id = spark, run_id
+        self.path = _lineage_path(out_dir)
+        self.done_stages = set()
+        try:
+            rows = (spark.read.parquet(self.path)
+                    .filter((F.col("run_id") == run_id)
+                            & (F.col("status") == "complete")).collect())
+            self.done_stages = {r["stage"] for r in rows}
+        except Exception:
+            pass
 
+    def done(self, stage: str) -> bool:
+        return stage in self.done_stages
 
-def _lineage_complete(spark: SparkSession, out_dir: str, run_id: str) -> bool:
-    try:
-        lin = spark.read.parquet(_lineage_path(out_dir))
-    except Exception:
-        return False
-    return (
-        lin.filter((F.col("run_id") == run_id)
-                   & (F.col("status") == "complete")).count() > 0
-    )
+    def record(self, stage: str, n_rows: int, started: float) -> None:
+        now = time.time()
+        self.spark.createDataFrame(
+            [(self.run_id, stage, n_rows, "complete", float(started),
+              float(now), now - started)],
+            LINEAGE_SCHEMA).write.mode("append").parquet(self.path)
+        self.done_stages.add(stage)
 
 
 def _read_stats(spark: SparkSession, out_dir: str) -> dict:
