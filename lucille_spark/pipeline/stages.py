@@ -723,3 +723,79 @@ class Print(Stage):
     def apply(self, df):
         df.show(self.n, truncate=80)
         return df
+
+
+@register_stage
+@dataclass
+class MatchQuery(Stage):
+    """stage/MatchQuery.java:39-123 — the Lucene percolator stage: named
+    boolean queries are parsed once and every document is tagged with the
+    names of the queries it matches (appended to ``dest``).
+
+    Here the parsed ASTs compile to JVM boolean Column expressions over the
+    tokenized fields (arrays_overlap / array_contains / phrase windows) —
+    the percolation of ALL queries happens in one codegen'd pass, no Python.
+    """
+    queries: Dict[str, str] = dc_field(default_factory=dict)
+    fields: Sequence[str] = ("content",)
+    dest: str = "matched_queries"
+    default_field: str = "content"
+
+    def _node_pred(self, node, df):
+        from lucille_spark.analysis import tokenize_col
+        from lucille_spark.query.parser import And, Not, Or, Phrase, Term
+
+        def toks(fld):
+            if fld not in df.columns:
+                return None
+            return tokenize_col(F.col(fld))
+
+        if isinstance(node, Term):
+            t = toks(node.field)
+            if t is None:
+                return F.lit(False)
+            # coalesce: a NULL field must read as "no match", not SQL NULL
+            # (three-valued logic would otherwise poison NOT/AND above)
+            return F.coalesce(F.array_contains(t, node.text), F.lit(False))
+        if isinstance(node, Phrase):
+            t = toks(node.field)
+            if t is None:
+                return F.lit(False)
+            n = len(node.terms)
+            toks_sql = (f"regexp_extract_all(lower({node.field}),"
+                        " '[a-z0-9_]+', 0)")
+            conds = " and ".join(
+                f"element_at({toks_sql}, cast(i as int) + {off + 1}) = '{x}'"
+                for off, x in enumerate(node.terms))
+            return F.coalesce(
+                (F.size(t) >= n) & F.expr(
+                    f"exists(sequence(0, size({toks_sql}) - {n}), i -> {conds})"),
+                F.lit(False))
+        if isinstance(node, Not):
+            return ~self._node_pred(node.child, df)
+        if isinstance(node, And):
+            out = None
+            for c in node.children:
+                p = self._node_pred(c, df)
+                out = p if out is None else (out & p)
+            return out
+        if isinstance(node, Or):
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c for c in node.children if isinstance(c, Not)]
+            out = F.lit(False)
+            for c in pos:
+                out = out | self._node_pred(c, df)
+            for c in neg:
+                out = out & ~self._node_pred(c.child, df)
+            return out
+        raise TypeError(f"unknown node {node!r}")
+
+    def apply(self, df):
+        from lucille_spark.query.parser import parse
+
+        tags = []
+        for name, q in self.queries.items():
+            pred = self._node_pred(parse(q, self.default_field), df)
+            tags.append(F.when(pred, F.lit(name)))
+        matched = F.filter(F.array(*tags), lambda x: x.isNotNull())
+        return self._set(df, self.dest, matched)

@@ -1,0 +1,114 @@
+"""Indexer-semantics sink: the abstract Indexer contract from the reference
+(core/Indexer.java:103-603) applied to our own index/doc tables instead of a
+Solr/ES bulk API.
+
+Matched semantics:
+- id override field (core/Indexer.java:513-521) — a column whose value
+  replaces the doc id before writing
+- field whitelist/blacklist (util/FieldFilter.java:10-20, applied at
+  core/Indexer.java:531-537)
+- deletion markers (core/Indexer.java:132-135,215-224): rows whose
+  ``delete_marker_field == delete_marker_value`` become deletes, not upserts
+- routing field (OpenSearchIndexer.java:353-354) -> repartition on it so
+  co-routed docs land in the same output task/file
+- batch size (core/Indexer.java:105) -> maxRecordsPerFile
+- idempotent upsert-by-id: last-write-wins against the existing table
+  (the Kafka at-least-once + idempotent-upsert story, Indexer.java:419-424)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class IndexSink:
+    def __init__(self, table_dir: str, id_col: str = "id",
+                 id_override_field: Optional[str] = None,
+                 include_fields: Optional[Sequence[str]] = None,
+                 exclude_fields: Optional[Sequence[str]] = None,
+                 delete_marker_field: Optional[str] = None,
+                 delete_marker_value: str = "true",
+                 routing_field: Optional[str] = None,
+                 batch_size: int = 100_000):
+        self.table_dir = table_dir
+        self.id_col = id_col
+        self.id_override_field = id_override_field
+        self.include_fields = include_fields
+        self.exclude_fields = exclude_fields
+        self.delete_marker_field = delete_marker_field
+        self.delete_marker_value = delete_marker_value
+        self.routing_field = routing_field
+        self.batch_size = batch_size
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        if self.id_override_field and self.id_override_field in df.columns:
+            df = df.withColumn(
+                self.id_col,
+                F.coalesce(F.col(self.id_override_field).cast("string"),
+                           F.col(self.id_col)))
+        if self.include_fields:
+            keep = [c for c in df.columns
+                    if c in set(self.include_fields) or c == self.id_col
+                    or c == self.delete_marker_field]
+            df = df.select(*keep)
+        if self.exclude_fields:
+            df = df.drop(*[c for c in self.exclude_fields
+                           if c != self.id_col and c in df.columns])
+        return df
+
+    def upsert(self, df: DataFrame) -> dict:
+        """Idempotent bulk upsert + deletes into the parquet doc table.
+
+        Equivalent of one SolrIndexer.sendToIndex flush cycle
+        (indexer/SolrIndexer.java:151-245): deletes and adds applied so the
+        final state per id reflects the LAST operation in this batch.
+        On Iceberg this is a single MERGE INTO; on plain parquet we rewrite
+        via anti-join (same result, coarser granularity)."""
+        spark = df.sparkSession
+        df = self._prepare(df)
+        if self.delete_marker_field and self.delete_marker_field in df.columns:
+            is_del = (F.col(self.delete_marker_field).cast("string")
+                      == self.delete_marker_value)
+            deletes = df.filter(is_del).select(self.id_col)
+            adds = df.filter(~F.coalesce(is_del, F.lit(False))) \
+                     .drop(self.delete_marker_field)
+        else:
+            deletes = None
+            adds = df
+        # last-write-wins within the batch
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.monotonically_increasing_id().desc())
+        adds = (adds.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+        try:
+            existing = spark.read.parquet(self.table_dir)
+        except Exception:
+            existing = None
+        if existing is not None:
+            gone = adds.select(self.id_col)
+            if deletes is not None:
+                gone = gone.unionByName(deletes)
+            existing = existing.join(F.broadcast(gone.distinct()),
+                                     self.id_col, "left_anti")
+            merged = existing.unionByName(adds, allowMissingColumns=True)
+        else:
+            merged = adds
+        if self.routing_field and self.routing_field in merged.columns:
+            merged = merged.repartition(F.col(self.routing_field))
+        tmp = self.table_dir + "_staging"
+        (merged.write.mode("overwrite")
+         .option("maxRecordsPerFile", self.batch_size).parquet(tmp))
+        final = spark.read.parquet(tmp)
+        n = final.count()
+        final.write.mode("overwrite") \
+            .option("maxRecordsPerFile", self.batch_size) \
+            .parquet(self.table_dir)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"rows": n}
