@@ -29,9 +29,22 @@ from lucille_spark.analysis import tokenize_col
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
+def _splitmix(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
 def _hash_params(n_hashes: int):
-    # deterministic affine-hash coefficients
-    return [(1 + 7919 * (j + 1), 104729 * (j + 1)) for j in range(n_hashes)]
+    """Deterministic affine-hash coefficients. The multipliers must be
+    large relative to P so (a*tid + b) mod P actually wraps — small
+    multipliers make min() monotone in tid and every hash degenerates to
+    'smallest token id'. Constants stay < 2^31 so a*tid fits int64 even at
+    10^9-term vocabularies."""
+    return [((_splitmix(2 * j + 1) % (MINHASH_P - 1)) + 1,
+             _splitmix(2 * j + 2) % MINHASH_P)
+            for j in range(n_hashes)]
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
