@@ -687,3 +687,215 @@ def db_child_join(spark, sf_dir):
             .agg(F.count(li.l_orderkey).cast("long").alias("n_children"),
                  F.sum(li.l_quantity.cast("decimal(18,2)")).cast("double")
                  .alias("total_qty")))
+
+
+# =========================================================================
+# 7. Additional operator coverage: windows, sessions, chunking, LSH bands,
+#    fielded search, sequence source
+# =========================================================================
+
+@register("window_topk_per_user", sql="""
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+SELECT user_id, event_id, CAST(rnk AS BIGINT) AS rnk, value
+FROM r WHERE rnk <= 2
+""")
+def window_topk_per_user(spark, sf_dir):
+    """Window-function parity (SURVEY.md §2.7): per-key top-k — the same
+    primitive the index build uses for block segmentation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (_events(spark, sf_dir)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 2)
+            .select("user_id", "event_id", "rnk", "value"))
+
+
+@register("events_sessionize", sql="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
+""")
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch analogue of
+    the streaming session-window operator (SURVEY.md §2.8)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).withColumn("_prev", F.lag("ts").over(w))
+    # parquet timestamps read as NTZ; session tz is UTC so LTZ cast = identity
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
+    new_s = F.when(
+        F.col("_prev").isNull() | ((sec("ts") - sec("_prev")) > 1800),
+        1).otherwise(0)
+    return (ev.withColumn("new_session", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+@register("stage_chunk_text", sql=f"""
+WITH {_TOKS_CTE},
+c AS (
+  SELECT doc_id, toks,
+         CAST(ceil(len(toks) / 50.0) AS INT) AS total_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '-chunk' || CAST(i + 1 AS VARCHAR) AS chunk_id,
+       CAST(i + 1 AS BIGINT) AS chunk_number,
+       CAST(total_chunks AS BIGINT) AS total_chunks,
+       array_to_string(toks[(CAST(i AS INT) * 50 + 1):(CAST(i AS INT) * 50 + 50)], ' ') AS chunk_text
+FROM c, unnest(range(0, total_chunks)) AS t(i)
+""")
+def stage_chunk_text(spark, sf_dir):
+    """ChunkText + EmitNestedChildren (stage/ChunkText.java:137-206,
+    children contract :172-179): fixed 50-token chunks emitted as rows."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "toks", tokenize_col(F.col("text")))
+    n_chunks = F.ceil(F.size("toks") / F.lit(50.0)).cast("int")
+    chunks = docs.select(
+        "doc_id", "toks", n_chunks.alias("total_chunks"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice("toks", i * 50 + 1, 50), " "))
+        ).alias("i", "chunk_text"))
+    return chunks.select(
+        "doc_id",
+        F.concat(F.col("doc_id").cast("string"), F.lit("-chunk"),
+                 (F.col("i") + 1).cast("string")).alias("chunk_id"),
+        (F.col("i") + 1).cast("long").alias("chunk_number"),
+        F.col("total_chunks").cast("long").alias("total_chunks"),
+        "chunk_text")
+
+
+def _lsh_bands_sql(n_hashes=8, band_size=2):
+    from lucille_spark.ml.dedup import MINHASH_P, _hash_params
+
+    hcols = ",\n       ".join(
+        f"CAST(MIN(({a} * tid + {b}) % {MINHASH_P}) AS BIGINT) AS h_{j}"
+        for j, (a, b) in enumerate(_hash_params(n_hashes)))
+    n_bands = n_hashes // band_size
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(
+            f"CAST(h_{b * band_size + r} AS VARCHAR)"
+            for r in range(band_size))
+        + " AS band_key FROM sigs"
+        for b in range(n_bands))
+    return f"""
+WITH {_TOKS_CTE},
+{_TOKDICT_CTE},
+ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+sigs AS (
+  SELECT doc_id, {hcols}
+  FROM ex JOIN tokdict USING (term) GROUP BY doc_id
+),
+bands AS ({band_rows})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register("dedup_lsh_candidate_pairs", sql=_lsh_bands_sql())
+def dedup_lsh_candidate_pairs(spark, sf_dir):
+    from lucille_spark.ml.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", 8)
+    return lsh_candidate_pairs(sigs, 8, band_size=2)
+
+
+@register("bm25_fielded", sql=f"""
+WITH {_TOKS_CTE},
+d AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       CAST(len(list_filter(toks, x -> x = 'stream')) AS BIGINT) AS tf_0
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0
+  FROM d
+),
+scored AS (
+  SELECT d.doc_id,
+    0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+         * (tf_0 / (tf_0 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))) ELSE 0.0 END)
+      AS raw_score,
+    (tf_0 > 0 AND lang = 'en') AS matched
+  FROM d, stats
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY raw_score DESC, doc_id) AS BIGINT) AS rank,
+       ROUND(raw_score, 4) AS score
+FROM scored WHERE matched
+ORDER BY raw_score DESC, doc_id LIMIT 10
+""")
+def bm25_fielded(spark, sf_dir):
+    """Fielded query (lang:en AND content:stream) — filter field + scored
+    field, the MatchQuery q_field shape (FIXTURES.md F2)."""
+    docs = _docs(spark, sf_dir)
+    res = bm25_query_df(docs.filter(F.col("lang") == "en"), "doc_id", "text",
+                        ["stream"], k=10, mode="and", score_decimals=4)
+    # df/avgdl must come from the FULL corpus; bm25_query_df computes them
+    # on its input — so recompute via the unfiltered corpus and re-rank.
+    # Simpler: express directly:
+    from lucille_spark.query.executor_df import prepare_docs
+
+    d = prepare_docs(docs, "doc_id", "text")
+    d = d.join(docs.select("doc_id", "lang"), "doc_id")
+    d = d.withColumn(
+        "tf_0", F.size(F.filter("toks", lambda x: x == F.lit("stream"))
+                       ).cast("long"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")
+         ).alias("avgdl"),
+        F.sum((F.col("tf_0") > 0).cast("long")).alias("df_0"))
+    s = d.crossJoin(F.broadcast(stats))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_0") + 0.5)
+                / (F.col("df_0") + 0.5))
+    tfn = F.col("tf_0") / (
+        F.col("tf_0") + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")))
+    s = s.withColumn("raw", F.lit(0.0)
+                     + F.when(F.col("tf_0") > 0, idf * tfn).otherwise(0.0))
+    s = s.filter((F.col("tf_0") > 0) & (F.col("lang") == "en"))
+    top = s.select("doc_id", "raw").orderBy(
+        F.col("raw").desc(), F.col("doc_id")).limit(10)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("raw").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")) \
+              .select("doc_id", "rank", F.round("raw", 4).alias("score"))
+
+
+@register("source_sequence", sql="""
+SELECT 'seq-' || CAST(i AS VARCHAR) AS id
+FROM range(0, 25) t(i)
+""")
+def source_sequence(spark, sf_dir):
+    """SequenceConnector (connector/SequenceConnector.java:1-49)."""
+    from lucille_spark.sources import sequence_docs
+
+    return sequence_docs(spark, 25, doc_id_prefix="seq-")
