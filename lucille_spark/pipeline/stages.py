@@ -799,3 +799,152 @@ class MatchQuery(Stage):
             tags.append(F.when(pred, F.lit(name)))
         matched = F.filter(F.array(*tags), lambda x: x.isNotNull())
         return self._set(df, self.dest, matched)
+
+
+# ------------------------------------------------- generators / entity extract
+
+def _seeded_u01(seed_col: Column, salt: int) -> Column:
+    """Deterministic per-row uniform [0,1) from a stable hash of a column —
+    the reference's AddRandom* stages exist to build test fixtures, which
+    must be reproducible, so 'random' here is seeded by the row id
+    (stage/AddRandomBoolean.java etc., SURVEY.md §2.4 generators)."""
+    h = F.conv(F.substring(F.sha2(seed_col.cast("binary"), 256), 1, 15),
+               16, 10).cast("decimal(20,0)").cast("double")
+    return (h + F.lit(float(salt) * 2654435761.0)) % 281474976710656.0 \
+        / 281474976710656.0
+
+
+@register_stage
+@dataclass
+class AddRandomBoolean(Stage):
+    """stage/AddRandomBoolean.java:1-10 (seeded-deterministic)."""
+    dest: str = "bool"
+    seed_field: str = "id"
+    percent_true: float = 0.5
+
+    def apply(self, df):
+        return self._set(df, self.dest,
+                         _seeded_u01(F.col(self.seed_field), 1)
+                         < self.percent_true)
+
+
+@register_stage
+@dataclass
+class AddRandomInt(Stage):
+    """stage/AddRandomInt.java (seeded-deterministic)."""
+    dest: str = "num"
+    seed_field: str = "id"
+    min_value: int = 0
+    max_value: int = 100
+
+    def apply(self, df):
+        span = self.max_value - self.min_value
+        return self._set(df, self.dest,
+                         (F.floor(_seeded_u01(F.col(self.seed_field), 2)
+                                  * span) + self.min_value).cast("int"))
+
+
+@register_stage
+@dataclass
+class AddRandomDouble(Stage):
+    """stage/AddRandomDouble.java (seeded-deterministic)."""
+    dest: str = "dbl"
+    seed_field: str = "id"
+
+    def apply(self, df):
+        return self._set(df, self.dest, _seeded_u01(F.col(self.seed_field), 3))
+
+
+@register_stage
+@dataclass
+class AddRandomString(Stage):
+    """stage/AddRandomString.java:1-30 — draw from a word list."""
+    dest: str = "word"
+    seed_field: str = "id"
+    words: Sequence[str] = ("alpha", "beta", "gamma", "delta")
+
+    def apply(self, df):
+        arr = F.array(*[F.lit(w) for w in self.words])
+        idx = F.floor(_seeded_u01(F.col(self.seed_field), 4)
+                      * len(self.words)).cast("int")
+        return self._set(df, self.dest, F.element_at(arr, idx + 1))
+
+
+@register_stage
+@dataclass
+class RandomVector(Stage):
+    """stage/RandomVector.java — deterministic pseudo-random float vector."""
+    dest: str = "vector"
+    seed_field: str = "id"
+    dim: int = 16
+
+    def apply(self, df):
+        comps = [
+            (_seeded_u01(F.col(self.seed_field), 100 + j) * 2 - 1
+             ).cast("float") for j in range(self.dim)]
+        return self._set(df, self.dest, F.array(*comps))
+
+
+@register_stage
+@dataclass
+class ExtractEntities(Stage):
+    """stage/ExtractEntities.java:1-30 / ExtractEntitiesFST.java — dictionary
+    entity extraction with payloads. The reference builds an Aho-Corasick
+    trie / Lucene FST; over tokenized text the equivalent JVM-side plan is:
+    single-word entries via array_intersect + map lookup, multi-word entries
+    via consecutive-token window checks (one codegen'd pass, dictionary
+    broadcast as literals; at very large dictionaries switch to a broadcast
+    join on the exploded tokens)."""
+    source: str = ""
+    dest: str = "entities"
+    dictionary: Dict[str, str] = dc_field(default_factory=dict)  # term->payload
+
+    def apply(self, df):
+        from lucille_spark.analysis import tokenize_col, tokenize_py
+
+        toks = tokenize_col(F.col(self.source))
+        hits = []
+        for entry, payload in self.dictionary.items():
+            terms = tokenize_py(entry)
+            if len(terms) == 1:
+                pred = F.array_contains(toks, terms[0])
+            else:
+                from lucille_spark.query.executor_df import phrase_pred
+
+                n = len(terms)
+                toks_sql = (f"regexp_extract_all(lower({self.source}),"
+                            " '[a-z0-9_]+', 0)")
+                conds = " and ".join(
+                    f"element_at({toks_sql}, cast(i as int) + {off + 1}) = '{t}'"
+                    for off, t in enumerate(terms))
+                pred = (F.size(toks) >= n) & F.expr(
+                    f"exists(sequence(0, size({toks_sql}) - {n}), i -> {conds})")
+            hits.append(F.when(F.coalesce(pred, F.lit(False)),
+                               F.lit(payload)))
+        matched = F.array_distinct(
+            F.filter(F.array(*hits), lambda x: x.isNotNull()))
+        return self._set(df, self.dest, matched)
+
+
+@register_stage
+@dataclass
+class FetchFileContent(Stage):
+    """stage/FetchFileContent.java:1-14 — path field -> byte[] content.
+    The per-doc fetch loop becomes a broadcast-able join against a
+    binaryFile read of the docs' root (util/FileContentFetcher.java)."""
+    path_field: str = "file_path"
+    dest: str = "content"
+    root: str = ""
+
+    def apply(self, df):
+        spark = df.sparkSession
+        files = (spark.read.format("binaryFile")
+                 .option("recursiveFileLookup", "true").load(self.root)
+                 .select(F.col("path").alias("__p"),
+                         F.col("content").alias(self.dest)))
+        # file paths from binaryFile are file:-prefixed URIs
+        joined = df.join(
+            files,
+            F.regexp_replace(files["__p"], "^file:", "")
+            == F.col(self.path_field), "left")
+        return joined.drop("__p")
