@@ -948,3 +948,128 @@ class FetchFileContent(Stage):
             F.regexp_replace(files["__p"], "^file:", "")
             == F.col(self.path_field), "left")
         return joined.drop("__p")
+
+
+@register_stage
+@dataclass
+class NormalizeFieldNames(Stage):
+    """stage/NormalizeFieldNames.java:1-10 — rewrite field NAMES
+    (spaces / non-alphanumerics -> delimiter), computed once from the
+    schema."""
+    delimiter: str = "_"
+
+    def apply(self, df):
+        import re
+
+        for c in list(df.columns):
+            clean = re.sub(r"[^0-9A-Za-z]+", self.delimiter, c).strip(
+                self.delimiter)
+            if clean and clean != c:
+                df = df.withColumnRenamed(c, clean)
+        return df
+
+
+@register_stage
+@dataclass
+class CreateChildrenStage(Stage):
+    """stage/CreateChildrenStage.java:1-16 — emit N synthetic children
+    (testing); children land in ___children like ChunkText."""
+    num_children: int = 2
+    id_col: str = "id"
+    drop_parent: bool = False
+
+    def apply(self, df):
+        children = F.transform(
+            F.sequence(F.lit(1), F.lit(self.num_children)),
+            lambda i: F.struct(
+                F.concat(F.col(self.id_col).cast("string"), F.lit("-child"),
+                         i.cast("string")).alias("id")))
+        out = df.withColumn(CHILDREN, children)
+        if self.drop_parent:
+            out = out.withColumn(DROPPED, F.lit(True))
+        return out
+
+
+@register_stage
+@dataclass
+class PythonUDF(Stage):
+    """The UDF escape hatch replacing EmbeddedPython / ExternalPython
+    (stage/EmbeddedPython.java:581-597, stage/ExternalPython.java:599-706):
+    the user supplies a vectorized ``fn(pd.DataFrame) -> pd.DataFrame``
+    applied via mapInPandas (Arrow batches — never row-at-a-time)."""
+    fn: object = None
+    schema: str = ""
+
+    def apply(self, df):
+        assert callable(self.fn) and self.schema, "fn + output schema required"
+        fn = self.fn
+
+        def runner(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return df.mapInPandas(runner, schema=self.schema)
+
+
+@register_stage
+@dataclass
+class ApplyHTML(Stage):
+    """stage/ApplyJSoup.java:1-45 — CSS-selector extraction from an HTML
+    field. The reference uses jsoup; this container has no bs4/lxml, so the
+    selector subset (tag names, optional #id / .class) is implemented on
+    python's stdlib html.parser inside an Arrow-vectorized pandas UDF."""
+    source: str = ""
+    mapping: Dict[str, str] = dc_field(default_factory=dict)  # dest -> selector
+
+    @staticmethod
+    def _make_extract(selector: str):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def extract(col: pandas.Series) -> pandas.Series:
+            from html.parser import HTMLParser
+
+            tag, _, rest = selector.partition(".")
+            want_cls = rest or None
+            tag, _, want_id = tag.partition("#")
+
+            class P(HTMLParser):
+                def __init__(self):
+                    super().__init__()
+                    self.depth = 0
+                    self.out = []
+
+                def handle_starttag(self, t, attrs):
+                    a = dict(attrs)
+                    if self.depth:
+                        self.depth += 1
+                    elif t == tag \
+                            and (not want_id or a.get("id") == want_id) \
+                            and (not want_cls
+                                 or want_cls in (a.get("class") or "").split()):
+                        self.depth = 1
+
+                def handle_endtag(self, t):
+                    if self.depth:
+                        self.depth -= 1
+
+                def handle_data(self, d):
+                    if self.depth:
+                        self.out.append(d)
+
+            def run(html):
+                if html is None:
+                    return None
+                p = P()
+                p.feed(html)
+                return " ".join("".join(p.out).split()) or None
+
+            return col.map(run)
+
+        return extract
+
+    def apply(self, df):
+        for dest, selector in self.mapping.items():
+            df = self._set(df, dest,
+                           self._make_extract(selector)(F.col(self.source)))
+        return df

@@ -1,0 +1,63 @@
+"""Tests for the second wave of stage/source parity items."""
+
+
+def test_normalize_field_names(spark):
+    from lucille_spark.pipeline.stages import NormalizeFieldNames
+
+    df = spark.createDataFrame([(1, 2, 3)], ["my field", "Weird-Name!", "ok"])
+    out = NormalizeFieldNames().apply(df)
+    assert out.columns == ["my_field", "Weird_Name", "ok"]
+
+
+def test_create_children_stage(spark):
+    from lucille_spark.pipeline.stages import (
+        CreateChildrenStage, EmitNestedChildren,
+    )
+
+    df = spark.createDataFrame([("p1",)], "id string")
+    chunked = CreateChildrenStage(num_children=3).apply(df)
+    kids = EmitNestedChildren(drop_parents=True).apply(chunked)
+    assert sorted(r["id"] for r in kids.collect()) == [
+        "p1-child1", "p1-child2", "p1-child3"]
+
+
+def test_python_udf_stage(spark):
+    from lucille_spark.pipeline.stages import PythonUDF
+
+    def fn(pdf):
+        pdf = pdf.copy()
+        pdf["double"] = pdf["n"] * 2
+        return pdf[["id", "double"]]
+
+    df = spark.createDataFrame([("a", 3), ("b", 4)], "id string, n int")
+    out = PythonUDF(fn=fn, schema="id string, double int").apply(df)
+    assert {(r["id"], r["double"]) for r in out.collect()} == {
+        ("a", 6), ("b", 8)}
+
+
+def test_apply_html(spark):
+    from lucille_spark.pipeline.stages import ApplyHTML
+
+    html = ('<html><head><title>My Page</title></head><body>'
+            '<div class="main">Hello <b>World</b></div>'
+            '<div class="side">ignore</div></body></html>')
+    df = spark.createDataFrame([("d1", html)], "id string, html string")
+    out = ApplyHTML(source="html", mapping={
+        "title": "title", "body_text": "div.main"}).apply(df).collect()[0]
+    assert out["title"] == "My Page"
+    assert out["body_text"] == "Hello World"
+
+
+def test_read_xml_docs(spark, tmp_path):
+    from lucille_spark.sources.xml_source import read_xml_docs
+
+    (tmp_path / "cat.xml").write_text(
+        "<catalog>"
+        "<book><isbn>111</isbn><t>First</t></book>"
+        "<book><isbn>222</isbn><t>Second</t></book>"
+        "</catalog>")
+    df = read_xml_docs(spark, str(tmp_path), row_xpath="/catalog/book",
+                       id_xpath="/catalog/book/isbn/text()",
+                       field_xpaths={"title": "/catalog/book/t/text()"})
+    rows = {r["id"]: r["title"] for r in df.collect()}
+    assert rows == {"111": "First", "222": "Second"}
