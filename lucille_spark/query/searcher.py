@@ -90,6 +90,13 @@ class IndexSearcher:
             if pivot_idx is None:
                 break  # even the sum of all remaining UBs can't beat theta
             pivot = order[pivot_idx].doc
+            # extend the pivot group over every cursor tied at the pivot doc:
+            # they all contribute to its score, so they must be inside the
+            # skip bound (otherwise a multi-term doc gets pruned on a
+            # single term's block max)
+            while (pivot_idx + 1 < len(order)
+                   and order[pivot_idx + 1].doc == pivot):
+                pivot_idx += 1
             leads = order[: pivot_idx + 1]
             ub = sum(c.block_max_score_at(pivot) for c in leads)
             if len(heap) >= k and ub <= theta:
@@ -108,7 +115,10 @@ class IndexSearcher:
                     if c.doc == pivot:
                         s += c.score()
                 theta = _heap_offer(heap, k, s, pivot, theta)
-                for c in leads:
+                # advance EVERY cursor sitting at pivot — including ones
+                # beyond pivot_idx; leaving them would re-evaluate the doc
+                # later with a partial score and poison the heap
+                for c in order:
                     if c.doc == pivot:
                         c.next()
             else:
