@@ -37,15 +37,50 @@ F1_QUERIES = {
 }
 
 
+def _cluster_session(n_exec: int, cores: int = 4, mem_mb: int = 4096):
+    """Multi-JVM stand-in for a real N-executor cluster: each executor is
+    its own JVM + python workers (spark-submit --py-files semantics)."""
+    import subprocess
+
+    from pyspark.sql import SparkSession
+
+    zip_path = os.path.join(tempfile.gettempdir(), "lucille_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        root = os.path.join(os.path.dirname(__file__), "..")
+        subprocess.run(["zip", "-qr", zip_path, "lucille_spark"],
+                       cwd=root, check=True)
+    total = n_exec * cores
+    spark = (SparkSession.builder
+             .master(f"local-cluster[{n_exec},{cores},{mem_mb}]")
+             .appName(f"bench-lc-{n_exec}")
+             .config("spark.sql.shuffle.partitions", str(total))
+             .config("spark.sql.adaptive.enabled", "false")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "4g")
+             .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+             .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm"
+                     ".version", "2")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.addPyFile(zip_path)
+    return spark
+
+
 def main():
     cpus = int(sys.argv[1])
     n_docs = int(sys.argv[2])
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else None
+    executors = os.environ.get("BENCH_EXECUTORS")  # local-cluster mode
 
     from lucille_spark.session import get_spark
     from lucille_spark.index.builder import build_index
 
-    spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    if executors:
+        spark = _cluster_session(int(executors))
+        cpus = int(executors) * 4
+    else:
+        spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=cpus)
     out = tempfile.mkdtemp(prefix=f"lucille_bench_{cpus}_")
     try:
         if sf_dir:
