@@ -131,7 +131,12 @@ def main():
         "queries": queries,
         "sf": sf,
         "n_docs": n_docs,
-        "index_docs_per_sec": round(n_docs / build_sec, 1),
+        # headline throughput = the at-scale build (the sf documents corpus
+        # is only ~5k docs at sf0.1 — fixed-cost dominated); the tiny-corpus
+        # number is kept alongside for completeness
+        "index_docs_per_sec": (scaling["docs_per_sec_high"] if scaling
+                               else round(n_docs / build_sec, 1)),
+        "index_docs_per_sec_sf_corpus": round(n_docs / build_sec, 1),
         "scaling": scaling,
     }
     print(json.dumps(out))
