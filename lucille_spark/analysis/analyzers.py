@@ -58,6 +58,25 @@ def duckdb_tokens_sql(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '{TOKEN_PATTERN}')"
 
 
+def tokenize_code_col(col: Column) -> Column:
+    """``code`` analyzer, entirely JVM-side: standard tokens + camelCase /
+    snake_case sub-tokens appended for identifiers that split into >1 part
+    (so ``getUserName`` is findable as get/user/name AND getusername).
+    Sub-tokens occupy positions after the document's base tokens — phrase
+    queries operate on the base token stream only."""
+    raw = F.regexp_extract_all(col, F.lit("[A-Za-z0-9_]+"), 0)
+    # insert spaces at case boundaries + underscores, then split
+    parts = lambda t: F.filter(  # noqa: E731
+        F.split(F.lower(F.regexp_replace(F.regexp_replace(
+            t, "(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])", " "),
+            "_", " ")), " "),
+        lambda x: x != F.lit(""))
+    subs = F.flatten(F.transform(
+        raw, lambda t: F.when(F.size(parts(t)) > 1, parts(t))
+        .otherwise(F.array().cast("array<string>"))))
+    return F.concat(tokenize_col(col), subs)
+
+
 def code_subtokens_py(token: str) -> List[str]:
     """camelCase/snake_case sub-token split for the opt-in ``code`` analyzer."""
     subs = [s.lower() for s in _CAMEL.split(token) if s]

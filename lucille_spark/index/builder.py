@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from lucille_spark import BLOCK_SIZE, BM25_B, BM25_K1
 from lucille_spark.analysis import tokenize_col
+from lucille_spark.analysis.analyzers import tokenize_code_col
 from lucille_spark.index import codecs
 from lucille_spark.index.ordinals import assign_doc_ord
 
@@ -128,6 +129,7 @@ def build_index(
     docs_per_salt: int = 1 << 17,
     run_id: str = "run-0",
     resume: bool = False,
+    analyzer: str = "standard",
 ) -> dict:
     """Build the full index at ``out_dir``; returns corpus-level stats.
 
@@ -135,6 +137,11 @@ def build_index(
     document frequency exceeds it is split into doc_ord-range salts. At a
     real 100 TB run keep the default (~131k postings per group ≈ a few MB);
     tests shrink it to force the salted path.
+
+    ``analyzer``: "standard" (Lucene StandardAnalyzer contract — the
+    oracle-parity default) or "code" (adds camelCase/snake_case sub-tokens
+    for identifier search over source corpora; query terms are analyzed
+    with the standard analyzer and match sub-tokens directly).
     """
     spark = corpus.sparkSession
     ledger = _Ledger(spark, out_dir, run_id)
@@ -163,11 +170,12 @@ def build_index(
     # re-running the codegen'd lower+split). ident materializes on the
     # ordinal bucket-count pass; docs (with doc_ord attached) materializes on
     # the doc_stats write, so the ordinal window shuffle runs exactly once.
+    tok_fn = tokenize_code_col if analyzer == "code" else tokenize_col
     ident = add_doc_identity(corpus).persist()
     docs = assign_doc_ord(ident, "doc_id")
     for f_name in fields:
         docs = docs.withColumn(f"dl_{f_name}",
-                               F.size(tokenize_col(F.col(f_name))).cast("long"))
+                               F.size(tok_fn(F.col(f_name))).cast("long"))
     docs = docs.persist()
 
     # --- doc_stats + corpus_stats ---------------------------------------
@@ -217,7 +225,7 @@ def build_index(
         toks = docs.select(
             "doc_ord",
             F.col(f"dl_{f_name}").cast("int").alias("dl"),
-            F.posexplode(tokenize_col(F.col(f_name))).alias("pos", "term"),
+            F.posexplode(tok_fn(F.col(f_name))).alias("pos", "term"),
         ).withColumn("pos", F.col("pos").cast("int"))
         # adaptive salting keyed on COLLECTION frequency (cf >= df, so this
         # triggers at least as often as a df rule — conservative is fine).

@@ -61,3 +61,40 @@ def test_read_xml_docs(spark, tmp_path):
                        field_xpaths={"title": "/catalog/book/t/text()"})
     rows = {r["id"]: r["title"] for r in df.collect()}
     assert rows == {"111": "First", "222": "Second"}
+
+
+def test_code_analyzer_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from lucille_spark.analysis.analyzers import (
+        tokenize_code_col, tokenize_code_py,
+    )
+
+    df = spark.createDataFrame(
+        [("def getUserName(self): return user_name",)], "content string")
+    got = df.select(tokenize_code_col(F.col("content")).alias("t")
+                    ).collect()[0]["t"]
+    want = tokenize_code_py("def getUserName(self): return user_name")
+    assert got == want
+    assert "getusername" in got and "user" in got and "name" in got
+
+
+def test_code_analyzer_index_search(spark, tmp_path):
+    from lucille_spark.index.builder import build_index
+    from lucille_spark.query.searcher import IndexSearcher
+
+    rows = [("o/r", f"f{i}.py", "c0", "python",
+             "class DataLoader: def loadBatch(self): pass" if i == 0
+             else "plain words only here")
+            for i in range(20)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    out = str(tmp_path / "codeidx")
+    build_index(corpus, out, fields=("content",), analyzer="code")
+    s = IndexSearcher(out)
+    # camelCase identifier findable by its sub-token
+    hits = s.search("content:loader", k=5)
+    assert len(hits) == 1
+    # and by the full lowercased identifier
+    assert len(s.search("content:dataloader", k=5)) == 1
