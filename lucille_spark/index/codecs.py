@@ -154,14 +154,34 @@ def encode_positions(positions_per_doc: list) -> bytes:
     return encode_positions_flat(flat, lens)
 
 
+def decode_positions_flat(data: bytes, n_docs: int):
+    """Inverse of encode_positions, vectorized -> (flat_positions, lens).
+
+    The only sequential dependency is locating the per-doc length markers
+    (cheap int loop); the delta decoding itself is one grouped cumsum."""
+    flat = vbyte_decode(data)
+    lens = np.empty(n_docs, dtype=np.int64)
+    markers = np.empty(n_docs, dtype=np.int64)
+    m = 0
+    fl = flat.tolist()
+    for i in range(n_docs):
+        markers[i] = m
+        n = fl[m]
+        lens[i] = n
+        m += n + 1
+    mask = np.ones(flat.size, dtype=bool)
+    mask[markers] = False
+    deltas = flat[mask]
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    abs_ = np.cumsum(deltas, dtype=np.uint64)
+    nz = lens > 0
+    starts = (np.cumsum(lens) - lens)[nz]
+    corr = np.repeat(abs_[starts] - deltas[starts], lens[nz])
+    return abs_ - corr, lens
+
+
 def decode_positions(data: bytes, n_docs: int) -> list:
     """Inverse of encode_positions -> list of uint64 arrays, len == n_docs."""
-    flat = vbyte_decode(data)
-    out = []
-    i = 0
-    for _ in range(n_docs):
-        n = int(flat[i])
-        i += 1
-        out.append(delta_decode(flat[i : i + n]))
-        i += n
-    return out
+    flat, lens = decode_positions_flat(data, n_docs)
+    return np.split(flat, np.cumsum(lens)[:-1])

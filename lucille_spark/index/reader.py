@@ -34,6 +34,7 @@ class IndexReader:
             r["field"]: r for r in stats.to_pylist()
         }
         self._term_cache: Dict = {}
+        self._decode_cache: Dict = {}
 
     # --- stats -----------------------------------------------------------
     def n_docs(self, field: str = "content") -> int:
@@ -72,21 +73,46 @@ class IndexReader:
 
     def decode_term(self, field: str, term: str, positions: bool = False):
         """Full uncompressed postings: (doc_ords, tfs, dls[, positions])."""
+        if positions:
+            docs, tfs, dls, flat, lens = self.decode_term_flat(field, term)
+            return docs, tfs, dls, np.split(flat, np.cumsum(lens)[:-1])
+        docs, tfs, dls, _, _ = self.decode_term_flat(field, term,
+                                                     positions=False)
+        return docs, tfs, dls
+
+    def decode_term_flat(self, field: str, term: str, positions: bool = True):
+        """(doc_ords, tfs, dls, flat_positions, lens) — decoded with ONE
+        vbyte pass per column: every payload format in this index is
+        block-concatenable by construction (gap streams restart with an
+        absolute value per block, undone by a grouped cumsum; tf/dl/positions
+        streams are self-delimiting), so a term's whole posting list decodes
+        in ~4 NumPy calls regardless of block count."""
+        key = (field, term, positions)
+        if key in self._decode_cache:
+            return self._decode_cache[key]
         pdf = self.blocks(field, term)
+        empty = np.empty(0, dtype=np.uint64)
         if pdf.empty:
-            empty = np.empty(0, dtype=np.uint64)
-            return (empty, empty, empty, []) if positions else (empty, empty, empty)
-        doc_arrays, tf_arrays, dl_arrays, pos_lists = [], [], [], []
-        for _, row in pdf.iterrows():
-            doc_arrays.append(codecs.decode_block_docs(row["doc_gaps"]))
-            tf_arrays.append(codecs.vbyte_decode(row["tfs"]))
-            dl_arrays.append(codecs.vbyte_decode(row["dls"]))
-            if positions:
-                pos_lists.extend(
-                    codecs.decode_positions(row["positions"], int(row["n_docs"])))
-        out = (np.concatenate(doc_arrays), np.concatenate(tf_arrays),
-               np.concatenate(dl_arrays))
-        return out + (pos_lists,) if positions else out
+            out = (empty, empty, empty, empty, np.empty(0, np.int64))
+        else:
+            counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+            gaps = codecs.vbyte_decode(b"".join(pdf["doc_gaps"]))
+            abs_ = np.cumsum(gaps, dtype=np.uint64)
+            starts = np.cumsum(counts) - counts
+            corr = np.repeat(abs_[starts] - gaps[starts], counts)
+            docs = abs_ - corr
+            tfs = codecs.vbyte_decode(b"".join(pdf["tfs"]))
+            dls = codecs.vbyte_decode(b"".join(pdf["dls"]))
+            if positions and pdf["positions"].iloc[0] is not None:
+                flat, lens = codecs.decode_positions_flat(
+                    b"".join(pdf["positions"]), int(counts.sum()))
+            else:
+                flat, lens = empty, np.empty(0, np.int64)
+            out = (docs, tfs, dls, flat, lens)
+        if len(self._decode_cache) > 16:
+            self._decode_cache.clear()
+        self._decode_cache[key] = out
+        return out
 
     def doc_ids_for_ords(self, ords: List[int]) -> Dict[int, str]:
         if not ords:

@@ -191,67 +191,64 @@ class IndexSearcher:
         raise TypeError(f"unknown node {node!r}")
 
     def _phrase_docs(self, p: Phrase) -> Set[int]:
-        """Positional phrase match via leapfrog intersection: blocks are
-        skipped with the doc fences and positions are decoded only for
-        blocks the intersection actually lands in — phrase cost is
-        O(candidate docs), not O(sum of term dfs)."""
+        """Positional phrase match, block-vectorized: the rarest term's
+        postings are decoded block-by-block; other terms' positions are
+        fetched as flat (doc, pos) arrays for just the doc range each block
+        covers; adjacency is checked with one np.isin over (doc*MAXPOS +
+        pos) keys per term — no per-document python loop."""
         import numpy as np
 
-        from lucille_spark.index.reader import TermCursor
-
-        cursors = [TermCursor(self.reader, p.field, t) for t in p.terms]
-        if any(c.df == 0 for c in cursors):
-            return set()
-        out: Set[int] = set()
-        d = max(c.doc for c in cursors)
-        while d < SENTINEL:
-            aligned = True
-            for c in cursors:
-                nd = c.next_geq(d)
-                if nd != d:
-                    d = nd
-                    aligned = False
-                    break
-            if not aligned:
-                continue
-            # per-doc position lists are tiny (tf-sized): plain set ops beat
-            # numpy's per-call overhead by ~100x here
-            cand = cursors[0].positions().tolist()
-            for off in range(1, len(cursors)):
-                if not cand:
-                    break
-                nxt = set(cursors[off].positions().tolist())
-                cand = [p for p in cand if p + off in nxt]
-            if cand:
-                out.add(d)
-            d += 1
-        return out
+        terms = list(p.terms)
+        decoded = {}
+        for t in set(terms):
+            docs, _, _, flat, lens = self.reader.decode_term_flat(p.field, t)
+            if docs.size == 0:
+                return set()
+            flat_docs = np.repeat(docs.astype(np.int64), lens)
+            decoded[t] = (flat_docs, flat.astype(np.int64))
+        MAXPOS = np.int64(1) << np.int64(32)
+        base_docs, base_pos = decoded[terms[0]]
+        # candidate occurrence keys of the first term
+        keys = base_docs * MAXPOS + base_pos
+        for off in range(1, len(terms)):
+            nd, npos = decoded[terms[off]]
+            nkeys = nd * MAXPOS + npos
+            keys = keys[np.isin(keys + off, nkeys)]
+            if keys.size == 0:
+                return set()
+        return set((keys // MAXPOS).tolist())
 
     def _score_candidates(self, node, k: int):
+        """Vectorized candidate scoring: per positive term, one np.searchsorted
+        maps its postings onto the sorted candidate array and accumulates
+        BM25 contributions (in term order, so float summation matches the
+        oracle); tie-break via lexsort on (-score, doc_ord)."""
+        import numpy as np
+
         matched = self._matching(node)
         if not matched:
             return []
-        terms = positive_terms(node)
-        avgdl = {}
-        tf_dl: List[Tuple[float, Dict[int, Tuple[int, int]]]] = []
-        for t in terms:
+        cand = np.fromiter(matched, dtype=np.int64, count=len(matched))
+        cand.sort()
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in positive_terms(node):
             docs, tfs, dls = self._term_postings(t.field, t.text)
+            if docs.size == 0:
+                continue
+            docs = docs.astype(np.int64)
             idf = self.reader.idf(t.field, t.text)
-            tf_dl.append((idf, {int(d): (int(tf), int(dl))
-                                for d, tf, dl in zip(docs, tfs, dls)}))
-            avgdl[t.field] = self.reader.avgdl(t.field)
-        field_by_term = [t.field for t in terms]
-        heap: List[Tuple[float, int]] = []
-        theta = -math.inf
-        for d in sorted(matched):
-            s = 0.0
-            for (idf, plist), fld in zip(tf_dl, field_by_term):
-                if d in plist:
-                    tf, dl = plist[d]
-                    s += idf * (tf / (tf + BM25_K1 * (
-                        1.0 - BM25_B + BM25_B * dl / avgdl[fld])))
-            theta = _heap_offer(heap, k, s, d, theta)
-        return _heap_to_hits(heap)
+            avgdl = self.reader.avgdl(t.field)
+            pos = np.searchsorted(cand, docs)
+            pos_ok = pos < cand.size
+            hit = np.zeros(docs.size, dtype=bool)
+            hit[pos_ok] = cand[pos[pos_ok]] == docs[pos_ok]
+            tf = tfs[hit].astype(np.float64)
+            dl = dls[hit].astype(np.float64)
+            contrib = idf * (tf / (tf + BM25_K1 * (
+                1.0 - BM25_B + BM25_B * dl / avgdl)))
+            scores[pos[hit]] += contrib
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
 
 
 # --- helpers ----------------------------------------------------------------
