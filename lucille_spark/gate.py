@@ -899,3 +899,27 @@ def source_sequence(spark, sf_dir):
     from lucille_spark.sources import sequence_docs
 
     return sequence_docs(spark, 25, doc_id_prefix="seq-")
+
+
+@register("ann_near_dup_pairs", sql="""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+""")
+def ann_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label
+    (ml/similarity.pairwise_cosine_block — the verify step behind an
+    LSH-bucketed candidate pass at scale)."""
+    from lucille_spark.ml.similarity import pairwise_cosine_block
+
+    pairs = pairwise_cosine_block(_emb(spark, sf_dir), "vec_id", "embedding",
+                                  "label", threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
