@@ -56,7 +56,8 @@ from lucille_spark.index.ordinals import assign_doc_ord
 POSTINGS_SCHEMA = (
     "field string, term string, salt int, block_seq int, first_doc long, "
     "last_doc long, n_docs int, sum_tf long, doc_gaps binary, tfs binary, "
-    "dls binary, positions binary, block_max_tf int, block_max_tfnorm double"
+    "dls binary, positions binary, block_max_tf int, block_max_tfnorm double, "
+    "bound_avgdl double"
 )
 
 
@@ -114,10 +115,64 @@ def _encode_factory(avgdl: float, block_size: int, store_positions: bool,
                 "positions": positions,
                 "block_max_tf": int(btfs.max()),
                 "block_max_tfnorm": float(tfnorm[s:e].max()),
+                # avgdl used for this block's score bound; if the corpus
+                # avgdl later shrinks (incremental merges), the reader
+                # scales the bound by avgdl_bound/avgdl_now (provably safe
+                # — see reader.TermCursor._bound_scale)
+                "bound_avgdl": avgdl,
             })
         return pd.DataFrame(rows)
 
     return encode
+
+
+
+
+def postings_blocks(docs, fields, avgdl_by_field, ord_span,
+                    tok_fn=None, block_size=BLOCK_SIZE,
+                    docs_per_salt=1 << 17, store_positions=True):
+    """The salted single-shuffle postings construction (shared by the full
+    build and the incremental merge). ``ord_span`` is the doc_ord range the
+    input covers (used only for salt-range bucketing). Requires dl_<field>
+    columns on ``docs``."""
+    tok_fn = tok_fn or tokenize_col
+    all_blocks = None
+    for f_name in fields:
+        # shuffle-byte diet: no constant field column (reattached in the
+        # kernel), int32 for pos/dl (pos < dl < 2^31 always)
+        toks = docs.select(
+            "doc_ord",
+            F.col(f"dl_{f_name}").cast("int").alias("dl"),
+            F.posexplode(tok_fn(F.col(f_name))).alias("pos", "term"),
+        ).withColumn("pos", F.col("pos").cast("int"))
+        # adaptive salting keyed on COLLECTION frequency (cf >= df, so this
+        # triggers at least as often as a df rule — conservative is fine).
+        # The cf agg combines map-side, so its shuffle is lexicon-sized, and
+        # the hot table is provably small (<= total_tokens / tokens_per_salt)
+        # -> broadcast join, no shuffle.
+        tokens_per_salt = docs_per_salt
+        hot = (
+            toks.groupBy("term").count()
+            .filter(F.col("count") > tokens_per_salt)
+            .withColumn("n_salts",
+                        F.ceil(F.col("count") / tokens_per_salt).cast("int"))
+            .drop("count")
+        )
+        salted = (
+            toks.join(F.broadcast(hot), ["term"], "left")
+            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+            .withColumn(
+                "salt",
+                F.floor(F.col("doc_ord") * F.col("n_salts") / F.lit(ord_span)
+                        ).cast("int"))
+            .drop("n_salts")
+        )
+        enc = _encode_factory(avgdl_by_field[f_name], block_size,
+                              store_positions, field=f_name)
+        blocks = salted.groupBy("term", "salt").applyInPandas(
+            enc, schema=POSTINGS_SCHEMA)
+        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
+    return all_blocks
 
 
 def build_index(
@@ -218,42 +273,10 @@ def build_index(
     # --- postings per field (ONE corpus-sized shuffle per field) ----------
     t_stage = time.time()
     skip_postings = resume and ledger.done("postings")
-    all_blocks = None
-    for f_name in fields if not skip_postings else []:
-        # shuffle-byte diet: no constant field column (reattached in the
-        # kernel), int32 for pos/dl (pos < dl < 2^31 always)
-        toks = docs.select(
-            "doc_ord",
-            F.col(f"dl_{f_name}").cast("int").alias("dl"),
-            F.posexplode(tok_fn(F.col(f_name))).alias("pos", "term"),
-        ).withColumn("pos", F.col("pos").cast("int"))
-        # adaptive salting keyed on COLLECTION frequency (cf >= df, so this
-        # triggers at least as often as a df rule — conservative is fine).
-        # The cf agg combines map-side, so its shuffle is lexicon-sized, and
-        # the hot table is provably small (<= total_tokens / tokens_per_salt)
-        # -> broadcast join, no shuffle.
-        tokens_per_salt = docs_per_salt
-        hot = (
-            toks.groupBy("term").count()
-            .filter(F.col("count") > tokens_per_salt)
-            .withColumn("n_salts",
-                        F.ceil(F.col("count") / tokens_per_salt).cast("int"))
-            .drop("count")
-        )
-        salted = (
-            toks.join(F.broadcast(hot), ["term"], "left")
-            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
-            .withColumn(
-                "salt",
-                F.floor(F.col("doc_ord") * F.col("n_salts") / F.lit(n_docs)
-                        ).cast("int"))
-            .drop("n_salts")
-        )
-        enc = _encode_factory(avgdl_by_field[f_name], block_size,
-                              store_positions, field=f_name)
-        blocks = salted.groupBy("term", "salt").applyInPandas(
-            enc, schema=POSTINGS_SCHEMA)
-        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
+    all_blocks = None if skip_postings else postings_blocks(
+        docs, fields, avgdl_by_field, n_docs, tok_fn=tok_fn,
+        block_size=block_size, docs_per_salt=docs_per_salt,
+        store_positions=store_positions)
 
     if not skip_postings:
         # term-sorted layout → parquet row-group min/max stats prune lookups
@@ -269,7 +292,8 @@ def build_index(
         .agg(F.sum("n_docs").cast("long").alias("df"),
              F.sum("sum_tf").cast("long").alias("cf"),
              F.count("*").cast("int").alias("n_blocks"),
-             F.max("block_max_tfnorm").alias("max_tfnorm"))
+             F.max("block_max_tfnorm").alias("max_tfnorm"),
+             F.min("bound_avgdl").alias("bound_avgdl"))
     )
     t_stage = time.time()
     lexicon.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))

@@ -35,6 +35,13 @@ class IndexReader:
         }
         self._term_cache: Dict = {}
         self._decode_cache: Dict = {}
+        # deleted docs (incremental upserts/deletes): ordinals to exclude
+        try:
+            t = ds.dataset(os.path.join(index_dir, "_tombstones")).to_table(
+                columns=["doc_ord"])
+            self.tombstones = set(t["doc_ord"].to_pylist())
+        except Exception:
+            self.tombstones = set()
 
     # --- stats -----------------------------------------------------------
     def n_docs(self, field: str = "content") -> int:
@@ -64,7 +71,7 @@ class IndexReader:
         disjoint in doc_ord, so (salt, block_seq) order == first_doc order)."""
         cols = columns or ["salt", "block_seq", "first_doc", "last_doc",
                            "n_docs", "doc_gaps", "tfs", "dls", "positions",
-                           "block_max_tf", "block_max_tfnorm"]
+                           "block_max_tf", "block_max_tfnorm", "bound_avgdl"]
         t = self._postings.to_table(
             filter=(ds.field("field") == field) & (ds.field("term") == term),
             columns=cols)
@@ -134,14 +141,28 @@ class TermCursor:
         self.idf = reader.idf(field, term)
         info = reader.term_info(field, term)
         self.df = info["df"] if info else 0
-        self.max_score = self.idf * float(info["max_tfnorm"]) if info else 0.0
         self.avgdl = reader.avgdl(field)
+        # Score bounds were computed with the avgdl at encode time. If the
+        # corpus avgdl has since GROWN (incremental merges with longer
+        # docs), actual tfnorms can exceed stored bounds by at most
+        # avgdl_now/avgdl_bound (mediant inequality on
+        # tf/(tf + k1(1-b+b*dl/a))), so scale bounds up by that factor;
+        # a shrunken avgdl only makes stored bounds looser (still valid).
+        lex_scale = 1.0
+        if info and info.get("bound_avgdl"):
+            lex_scale = max(1.0, self.avgdl / float(info["bound_avgdl"]))
+        self.max_score = (self.idf * float(info["max_tfnorm"]) * lex_scale
+                          if info else 0.0)
         self._blocks = reader.blocks(field, term)
         self._nblocks = len(self._blocks)
         self._first = self._blocks["first_doc"].to_numpy() if self._nblocks else np.empty(0)
         self._last = self._blocks["last_doc"].to_numpy() if self._nblocks else np.empty(0)
-        self._bmax = (self._blocks["block_max_tfnorm"].to_numpy()
-                      if self._nblocks else np.empty(0))
+        if self._nblocks:
+            bavg = self._blocks["bound_avgdl"].to_numpy()
+            scale = np.maximum(1.0, self.avgdl / bavg)
+            self._bmax = self._blocks["block_max_tfnorm"].to_numpy() * scale
+        else:
+            self._bmax = np.empty(0)
         self.bi = -1
         self.pos = 0
         self._docs = self._tfs = self._dls = None

@@ -35,6 +35,9 @@ class IndexSearcher:
     def __init__(self, index_dir: str, default_field: str = "content"):
         self.reader = IndexReader(index_dir)
         self.default_field = default_field
+        # deleted/superseded docs from incremental merges — excluded
+        # everywhere below (compaction folds them away; see index/merge.py)
+        self.tombstones = self.reader.tombstones
 
     # ------------------------------------------------------------------ API
     def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
@@ -62,7 +65,7 @@ class IndexSearcher:
     def match(self, query: str) -> List[str]:
         """Percolator-style boolean matching: sorted doc_ids."""
         node = parse(query, self.default_field)
-        ords = sorted(self._matching(node))
+        ords = sorted(self._matching(node) - self.tombstones)
         id_map = self.reader.doc_ids_for_ords(ords)
         return sorted(id_map[o] for o in ords)
 
@@ -110,11 +113,12 @@ class IndexSearcher:
             if order[0].doc == pivot:
                 # full eval — accumulate in ORIGINAL term order so the float
                 # sum matches the oracle bit-for-bit
-                s = 0.0
-                for c in cursors:
-                    if c.doc == pivot:
-                        s += c.score()
-                theta = _heap_offer(heap, k, s, pivot, theta)
+                if pivot not in self.tombstones:
+                    s = 0.0
+                    for c in cursors:
+                        if c.doc == pivot:
+                            s += c.score()
+                    theta = _heap_offer(heap, k, s, pivot, theta)
                 # advance EVERY cursor sitting at pivot — including ones
                 # beyond pivot_idx; leaving them would re-evaluate the doc
                 # later with a partial score and poison the heap
@@ -151,10 +155,11 @@ class IndexSearcher:
                     fence = min(c.block_last_at(d) for c in cursors) + 1
                     d = max(fence, d + 1)
                     continue
-            s = 0.0
-            for c in cursors_eval:
-                s += c.score()
-            theta = _heap_offer(heap, k, s, d, theta)
+            if d not in self.tombstones:
+                s = 0.0
+                for c in cursors_eval:
+                    s += c.score()
+                theta = _heap_offer(heap, k, s, d, theta)
             d = d + 1
         return _heap_to_hits(heap)
 
@@ -225,7 +230,7 @@ class IndexSearcher:
         oracle); tie-break via lexsort on (-score, doc_ord)."""
         import numpy as np
 
-        matched = self._matching(node)
+        matched = self._matching(node) - self.tombstones
         if not matched:
             return []
         cand = np.fromiter(matched, dtype=np.int64, count=len(matched))
