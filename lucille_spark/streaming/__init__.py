@@ -1,3 +1,3 @@
-from lucille_spark.streaming.ingest import StreamingIngest
+from lucille_spark.streaming.ingest import StreamingIndexer, StreamingIngest
 
-__all__ = ["StreamingIngest"]
+__all__ = ["StreamingIngest", "StreamingIndexer"]

@@ -75,3 +75,72 @@ class StreamingIngest:
             q.awaitTermination()
             return q
         return writer.start()
+
+
+class StreamingIndexer(StreamingIngest):
+    """Continuous search indexing: each microbatch is upserted into the
+    LIVE index via the incremental merge (index/merge.py) — the
+    streaming-mode equivalent of the reference's Worker->Indexer->Solr
+    topology, except the 'Solr' half is our own index tables, and documents
+    become searchable after every microbatch commit.
+
+    Delete markers: rows where ``delete_marker_field`` is truthy become
+    tombstones instead of upserts (core/Indexer.java:132-135)."""
+
+    def __init__(self, spark: SparkSession, pipeline: Pipeline,
+                 index_dir: str, checkpoint_dir: str,
+                 corpus_cols=("repo", "path", "commit", "lang", "content"),
+                 delete_marker_field: Optional[str] = None,
+                 fields=("content",), metrics_dir: Optional[str] = None,
+                 run_id: str = "stream-idx-0", **merge_kwargs):
+        super().__init__(spark, pipeline, sink=None,
+                         checkpoint_dir=checkpoint_dir,
+                         metrics_dir=metrics_dir, run_id=run_id)
+        self.index_dir = index_dir
+        self.corpus_cols = list(corpus_cols)
+        self.fields = tuple(fields)
+        self.delete_marker_field = delete_marker_field
+        self.merge_kwargs = merge_kwargs
+
+    def _foreach_batch(self) -> Callable:
+        pipeline = self.pipeline
+        index_dir, fields = self.index_dir, self.fields
+        cols, marker = self.corpus_cols, self.delete_marker_field
+        metrics_dir, run_id = self.metrics_dir, self.run_id
+        merge_kwargs = self.merge_kwargs
+
+        def process(batch_df: DataFrame, batch_id: int):
+            from lucille_spark.index.builder import add_doc_identity
+            from lucille_spark.index.merge import merge_index
+
+            t0 = time.time()
+            out = pipeline.finish(batch_df)
+            deletes = None
+            if marker and marker in out.columns:
+                is_del = F.coalesce(
+                    F.col(marker).cast("string") == "true", F.lit(False))
+                deletes = add_doc_identity(
+                    out.filter(is_del)).select("doc_id")
+                out = out.filter(~is_del)
+            corpus = out.select(*cols)
+            if not os.path.exists(os.path.join(index_dir, "corpus_stats")):
+                # bootstrap: the first microbatch creates the index
+                from lucille_spark.index.builder import build_index
+
+                build_index(corpus, index_dir, fields=fields,
+                            run_id=f"{run_id}-b{batch_id}", **merge_kwargs)
+                res = {"added": -1, "tombstoned": 0}
+            else:
+                res = merge_index(corpus, index_dir, fields=fields,
+                                  deletes=deletes,
+                                  run_id=f"{run_id}-b{batch_id}",
+                                  **merge_kwargs)
+            if metrics_dir:
+                batch_df.sparkSession.createDataFrame(
+                    [(run_id, int(batch_id), int(res["added"]),
+                      int(res["tombstoned"]), time.time() - t0, "complete")],
+                    "run_id string, batch_id long, n_added long, "
+                    "n_tombstoned long, seconds double, status string",
+                ).write.mode("append").parquet(metrics_dir)
+
+        return process

@@ -211,3 +211,52 @@ def test_streaming_ingest(spark, tmp_path):
     assert got == {"s1": "HOLA", "s2": "WORLD", "s3": "NEW"}
     m = spark.read.parquet(metrics)
     assert m.count() >= 2
+
+
+def test_streaming_indexer_live_search(spark, tmp_path):
+    """Continuous indexing: docs searchable after each microbatch; upserts
+    and deletes applied through the streaming merge."""
+    import json
+
+    from lucille_spark.pipeline import Pipeline
+    from lucille_spark.query.searcher import IndexSearcher
+    from lucille_spark.streaming import StreamingIndexer
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    idx = str(tmp_path / "live_index")
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, ___delete string")
+
+    def doc(path, content, delete=None):
+        return json.dumps({"repo": "o/r", "path": path, "commit": "c0",
+                           "lang": "py", "content": content,
+                           "___delete": delete})
+
+    indexer = StreamingIndexer(
+        spark, Pipeline([]), index_dir=idx,
+        checkpoint_dir=str(tmp_path / "chk"),
+        delete_marker_field="___delete",
+        metrics_dir=str(tmp_path / "metrics"),
+        block_size=16, docs_per_salt=64)
+
+    # batch 1: bootstrap the index
+    (inbox / "b1.jsonl").write_text(
+        doc("a.py", "alpha unique bravo") + "\n" +
+        doc("b.py", "bravo charlie words") + "\n")
+    indexer.from_json_files(str(inbox), schema)
+    s = IndexSearcher(idx)
+    assert len(s.search("content:bravo", 10)) == 2
+
+    # batch 2: update a.py, delete b.py, add c.py
+    (inbox / "b2.jsonl").write_text(
+        doc("a.py", "alpha rewritten delta") + "\n" +
+        doc("b.py", "", delete="true") + "\n" +
+        doc("c.py", "charlie echo fresh") + "\n")
+    indexer.from_json_files(str(inbox), schema)
+    s = IndexSearcher(idx)
+    assert len(s.search("content:bravo", 10)) == 0      # old content gone
+    assert len(s.search("content:rewritten", 10)) == 1  # update visible
+    assert len(s.search("content:fresh", 10)) == 1      # add visible
+    m = spark.read.parquet(str(tmp_path / "metrics"))
+    assert m.count() >= 2
