@@ -84,6 +84,16 @@ def main():
             text_quality,
         )
 
+        # distributed query-batch throughput (queries are the parallel unit)
+        from lucille_spark.query.executor_df import search_batch
+
+        batch_queries = [(f"q{i}", q) for i in range(30)
+                         for q in [list(WAND_QUERIES.values())[i % len(WAND_QUERIES)]]]
+        t0 = time.time()
+        search_batch(spark, idx_dir, batch_queries, k=10).count()
+        batch_sec = time.time() - t0
+        queries["query_batch_30"] = round(batch_sec, 3)
+
         for name, fn in [("bm25_df_or", bm25_or),
                          ("dedup_exact", dedup_exact),
                          ("dedup_minhash", dedup_minhash_signatures),
@@ -137,6 +147,7 @@ def main():
         "index_docs_per_sec": (scaling["docs_per_sec_high"] if scaling
                                else round(n_docs / build_sec, 1)),
         "index_docs_per_sec_sf_corpus": round(n_docs / build_sec, 1),
+        "query_batch_qps": round(30 / batch_sec, 1),
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -1073,3 +1073,47 @@ class ApplyHTML(Stage):
             df = self._set(df, dest,
                            self._make_extract(selector)(F.col(self.source)))
         return df
+
+
+@register_stage
+@dataclass
+class ApplyFileHandlers(Stage):
+    """stage/ApplyFileHandlers.java:1-30 — each document references a file;
+    the file is parsed by a CSV/JSONL handler and its rows become children
+    of the referencing document.
+
+    Spark-first: instead of per-doc parsing, ALL referenced files are read
+    in one distributed pass (the handler source), then joined back to
+    parents on the file name — the N+1 loop becomes one scan + one join."""
+    path_field: str = "file_path"
+    handler: str = "csv"          # csv | jsonl
+    handler_options: Dict[str, object] = dc_field(default_factory=dict)
+
+    def apply(self, df):
+        spark = df.sparkSession
+        paths = [r[0] for r in df.select(self.path_field).distinct().collect()]
+        if not paths:
+            return df.withColumn(CHILDREN, F.lit(None))
+        if self.handler == "csv":
+            from lucille_spark.sources import read_csv_docs
+
+            children = read_csv_docs(spark, paths, **self.handler_options)
+        elif self.handler == "jsonl":
+            from lucille_spark.sources import read_jsonl_docs
+
+            children = read_jsonl_docs(spark, paths, **self.handler_options)
+        else:
+            raise ValueError(self.handler)
+        if "source" not in children.columns:
+            children = children.withColumn(
+                "source", F.regexp_extract(F.input_file_name(),
+                                           r"([^/]+)$", 1))
+        rolled = (children
+                  .withColumn("_child", F.struct(*[
+                      F.col(c) for c in children.columns if c != "source"]))
+                  .groupBy("source")
+                  .agg(F.collect_list("_child").alias(CHILDREN)))
+        parent_file = F.regexp_extract(F.col(self.path_field), r"([^/]+)$", 1)
+        return (df.withColumn("_pfile", parent_file)
+                .join(rolled, F.col("_pfile") == rolled["source"], "left")
+                .drop("_pfile", "source"))

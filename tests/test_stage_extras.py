@@ -98,3 +98,18 @@ def test_code_analyzer_index_search(spark, tmp_path):
     assert len(hits) == 1
     # and by the full lowercased identifier
     assert len(s.search("content:dataloader", k=5)) == 1
+
+
+def test_apply_file_handlers(spark, tmp_path):
+    from lucille_spark.pipeline.stages import ApplyFileHandlers
+
+    (tmp_path / "x.csv").write_text("a,b\n1,2\n3,4\n")
+    (tmp_path / "y.csv").write_text("a,b\n5,6\n")
+    df = spark.createDataFrame(
+        [("d1", str(tmp_path / "x.csv")), ("d2", str(tmp_path / "y.csv"))],
+        "id string, file_path string")
+    out = ApplyFileHandlers(path_field="file_path", handler="csv").apply(df)
+    rows = {r["id"]: r["___children"] for r in out.collect()}
+    assert len(rows["d1"]) == 2 and len(rows["d2"]) == 1
+    assert {c["a"] for c in rows["d1"]} == {"1", "3"}
+    assert rows["d1"][0]["id"].startswith("x.csv-")  # handler id synthesis
