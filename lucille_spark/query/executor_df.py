@@ -170,7 +170,18 @@ def search_batch(
     def run(batches):
         from lucille_spark.query.searcher import IndexSearcher
 
-        searcher = IndexSearcher(index_dir, default_field)
+        # one searcher per (reused) python worker process — the pyarrow
+        # dataset open + lexicon warm-up amortizes across all tasks the
+        # worker serves, like any search-tier process would
+        import builtins
+
+        cache = getattr(builtins, "_lucille_searchers", None)
+        if cache is None:
+            cache = builtins._lucille_searchers = {}
+        searcher = cache.get((index_dir, default_field))
+        if searcher is None:
+            searcher = IndexSearcher(index_dir, default_field)
+            cache[(index_dir, default_field)] = searcher
         for pdf in batches:
             rows = []
             for qid, q in zip(pdf["query_id"], pdf["query"]):
