@@ -183,5 +183,7 @@ def decode_positions_flat(data: bytes, n_docs: int):
 
 def decode_positions(data: bytes, n_docs: int) -> list:
     """Inverse of encode_positions -> list of uint64 arrays, len == n_docs."""
+    if n_docs == 0:
+        return []
     flat, lens = decode_positions_flat(data, n_docs)
     return np.split(flat, np.cumsum(lens)[:-1])
