@@ -61,6 +61,19 @@ POSTINGS_SCHEMA = (
 )
 
 
+def write_index_meta(spark: SparkSession, out_dir: str, ord_span: int,
+                     run_id: str) -> None:
+    """Overwrite the 1-row ``_meta`` table: the ordinal span (NOT-complement
+    universe for the searcher — includes tombstoned ordinals) and a version
+    stamp that invalidates per-worker searcher caches after any build/merge
+    (executor_df.search_batch keys its cache on it)."""
+    now = time.time()
+    spark.createDataFrame(
+        [(int(ord_span), f"{run_id}@{now:.6f}", float(now))],
+        "ord_span long, version string, updated_at double",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "_meta"))
+
+
 def add_doc_identity(corpus: DataFrame) -> DataFrame:
     """doc_id = sha256(repo\\x00path\\x00commit); content_sha256 invariant col."""
     return corpus.withColumn(
@@ -300,6 +313,7 @@ def build_index(
     ledger.record("lexicon", n_docs, t_stage)
 
     _mark("lexicon")
+    write_index_meta(spark, out_dir, ord_span=n_docs, run_id=run_id)
     docs.unpersist()
     spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return {"n_docs": n_docs, "avgdl": avgdl_by_field,

@@ -22,16 +22,18 @@ Mechanics (Lucene-segment-like):
 from __future__ import annotations
 
 import os
+import shutil
 import time
-from typing import Sequence
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lucille_spark import BLOCK_SIZE
 from lucille_spark.analysis import tokenize_col
 from lucille_spark.index.builder import (
     POSTINGS_SCHEMA, _Ledger, add_doc_identity, postings_blocks,
+    write_index_meta,
 )
 from lucille_spark.index.ordinals import assign_doc_ord
 
@@ -45,8 +47,16 @@ def merge_index(
     block_size: int = BLOCK_SIZE,
     docs_per_salt: int = 1 << 17,
     run_id: str = "merge-0",
+    order_col: Optional[str] = None,
 ) -> dict:
-    """Upsert ``new_corpus`` rows (and apply ``deletes``) into the index."""
+    """Upsert ``new_corpus`` rows (and apply ``deletes``) into the index.
+
+    Duplicate doc_ids WITHIN the batch collapse to one row before ordinal
+    assignment (otherwise the ordinal join-back would multiply rows and
+    double postings): last write wins by ``order_col`` when given (a source
+    offset/sequence column — Indexer.java sendToIndex order), else by a
+    deterministic content_sha256 tiebreak.
+    """
     spark = new_corpus.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -59,6 +69,11 @@ def merge_index(
 
     # delta with fresh ordinals above everything existing
     delta = add_doc_identity(new_corpus)
+    order_expr = (F.col(order_col).desc_nulls_last() if order_col
+                  else F.col("content_sha256").desc())
+    w = Window.partitionBy("doc_id").orderBy(order_expr)
+    delta = (delta.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
     delta = assign_doc_ord(delta, "doc_id").withColumn(
         "doc_ord", F.col("doc_ord") + F.lit(max_ord + 1))
     for f_name in fields:
@@ -67,11 +82,19 @@ def merge_index(
     delta = delta.persist()
 
     # tombstones: superseded versions of upserted ids + explicit deletes.
-    # (only LIVE rows are tombstoned — re-deleting a dead ord is harmless)
+    # Only LIVE rows are tombstoned: doc_stats is append-only, so a doc_id
+    # upserted twice has a dead row whose ordinal is ALREADY in _tombstones —
+    # counting it again would re-subtract its dl and corrupt corpus_stats
+    # (n_docs/avgdl and hence every idf). Anti-join the existing tombstones.
     gone_ids = delta.select("doc_id")
     if deletes is not None:
         gone_ids = gone_ids.unionByName(deletes.select("doc_id"))
-    tombs = (doc_stats.join(F.broadcast(gone_ids.distinct()), "doc_id")
+    tomb_dir = os.path.join(index_dir, "_tombstones")
+    live_stats = doc_stats
+    if os.path.exists(tomb_dir):
+        dead = spark.read.parquet(tomb_dir).select("doc_ord").distinct()
+        live_stats = doc_stats.join(dead, "doc_ord", "left_anti")
+    tombs = (live_stats.join(F.broadcast(gone_ids.distinct()), "doc_id")
              .select("doc_ord", *[f"dl_{f}" for f in fields]))
     tombs_rows = tombs.collect()
     n_tomb = len(tombs_rows)
@@ -93,11 +116,13 @@ def merge_index(
         avgdl_by_field[f_name] = avgdl
         cs_rows.append((f_name, live_n, avgdl, live_total))
 
-    # delta postings appended; blocks carry bound_avgdl = avgdl_new
+    # delta postings appended; blocks carry bound_avgdl = avgdl_new.
+    # Persisted so the incremental lexicon below aggregates the DELTA blocks
+    # only (block rows are compressed binary — tiny relative to the corpus).
     blocks = postings_blocks(
         delta, fields, avgdl_by_field, ord_span=max_ord + 1 + n_delta,
         block_size=block_size, docs_per_salt=docs_per_salt,
-        store_positions=store_positions)
+        store_positions=store_positions).persist()
     (blocks.repartitionByRange(
         max(spark.sparkContext.defaultParallelism, 8), "field", "term")
      .sortWithinPartitions("field", "term", "salt", "block_seq")
@@ -119,15 +144,36 @@ def merge_index(
         cs_rows, "field string, n_docs long, avgdl double, total_terms long"
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "corpus_stats"))
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-    lexicon = (postings.groupBy("field", "term")
-               .agg(F.sum("n_docs").cast("long").alias("df"),
-                    F.sum("sum_tf").cast("long").alias("cf"),
-                    F.count("*").cast("int").alias("n_blocks"),
-                    F.max("block_max_tfnorm").alias("max_tfnorm"),
-                    F.min("bound_avgdl").alias("bound_avgdl")))
-    lexicon.write.mode("overwrite").parquet(os.path.join(index_dir, "lexicon"))
+    # incremental lexicon: aggregate the DELTA blocks only and fold into the
+    # existing lexicon (df/cf/n_blocks are additive across blocks,
+    # max_tfnorm a max, bound_avgdl a min). The old full-postings rescan made
+    # every streaming microbatch O(index); this is O(delta + lexicon).
+    delta_lex = (blocks.groupBy("field", "term")
+                 .agg(F.sum("n_docs").cast("long").alias("df"),
+                      F.sum("sum_tf").cast("long").alias("cf"),
+                      F.count("*").cast("long").alias("n_blocks"),
+                      F.max("block_max_tfnorm").alias("max_tfnorm"),
+                      F.min("bound_avgdl").alias("bound_avgdl")))
+    lex_dir = os.path.join(index_dir, "lexicon")
+    old_lex = spark.read.parquet(lex_dir).withColumn(
+        "n_blocks", F.col("n_blocks").cast("long"))
+    merged_lex = (old_lex.unionByName(delta_lex)
+                  .groupBy("field", "term")
+                  .agg(F.sum("df").cast("long").alias("df"),
+                       F.sum("cf").cast("long").alias("cf"),
+                       F.sum("n_blocks").cast("int").alias("n_blocks"),
+                       F.max("max_tfnorm").alias("max_tfnorm"),
+                       F.min("bound_avgdl").alias("bound_avgdl")))
+    # can't overwrite a path being read → write aside, then swap
+    # (on an object store / Iceberg this is a snapshot commit instead)
+    lex_tmp = lex_dir + "_tmp"
+    merged_lex.write.mode("overwrite").parquet(lex_tmp)
+    shutil.rmtree(lex_dir)
+    os.rename(lex_tmp, lex_dir)
+    blocks.unpersist()
 
+    write_index_meta(spark, index_dir, ord_span=max_ord + 1 + n_delta,
+                     run_id=run_id)
     _Ledger(spark, index_dir, run_id).record(
         "merge", n_delta, t0)
     delta.unpersist()

@@ -23,6 +23,18 @@ from lucille_spark.index import codecs
 SENTINEL = 1 << 62
 
 
+def read_meta(index_dir: str) -> Optional[dict]:
+    """Read the 1-row ``_meta`` table (ord_span, version, updated_at);
+    None when absent (pre-round-2 index layout)."""
+    try:
+        t = ds.dataset(os.path.join(index_dir, "_meta")).to_table()
+        rows = t.to_pylist()
+        # several appends may exist; the newest updated_at wins
+        return max(rows, key=lambda r: r.get("updated_at", 0.0))
+    except Exception:
+        return None
+
+
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -35,17 +47,48 @@ class IndexReader:
         }
         self._term_cache: Dict = {}
         self._decode_cache: Dict = {}
-        # deleted docs (incremental upserts/deletes): ordinals to exclude
+        # deleted docs (incremental upserts/deletes): ordinals to exclude.
+        # Stored as a SORTED int64 array, not a Python set: at 10^9 docs with
+        # 1% deletes a set of ints is ~GBs; the array is 8B/entry and
+        # membership is one searchsorted.
         try:
             t = ds.dataset(os.path.join(index_dir, "_tombstones")).to_table(
                 columns=["doc_ord"])
-            self.tombstones = set(t["doc_ord"].to_pylist())
+            arr = np.unique(np.asarray(t["doc_ord"].to_pylist(),
+                                       dtype=np.int64))
         except Exception:
-            self.tombstones = set()
+            arr = np.empty(0, dtype=np.int64)
+        self.tombstones = arr
+        # _meta carries the ordinal SPAN (max doc_ord + 1, including
+        # tombstoned ordinals) and a version stamp for cache invalidation.
+        # Written by build_index/merge_index; legacy indexes fall back to a
+        # single-column doc_stats scan (driver-side, projected read).
+        self._meta = read_meta(index_dir)
+        if self._meta is None:
+            t = self._doc_stats.to_table(columns=["doc_ord"])
+            col = t["doc_ord"]
+            mx = -1 if len(col) == 0 else int(
+                max(c for c in col.to_pylist()))
+            self._meta = {"ord_span": mx + 1, "version": "legacy"}
 
     # --- stats -----------------------------------------------------------
     def n_docs(self, field: str = "content") -> int:
         return int(self.stats[field]["n_docs"])
+
+    def ord_span(self) -> int:
+        """max doc_ord + 1 — the NOT-complement universe. This is NOT
+        n_docs: after merges, live count < span (tombstoned ordinals)."""
+        return int(self._meta["ord_span"])
+
+    def version(self) -> str:
+        return str(self._meta.get("version", "legacy"))
+
+    def has_tombstone(self, doc_ord: int) -> bool:
+        t = self.tombstones
+        if t.size == 0:
+            return False
+        i = int(np.searchsorted(t, doc_ord))
+        return i < t.size and int(t[i]) == doc_ord
 
     def avgdl(self, field: str = "content") -> float:
         return float(self.stats[field]["avgdl"])

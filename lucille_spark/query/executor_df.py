@@ -168,20 +168,30 @@ def search_batch(
     n_part = min(len(queries), spark.sparkContext.defaultParallelism)
 
     def run(batches):
+        from lucille_spark.index.reader import read_meta
         from lucille_spark.query.searcher import IndexSearcher
 
         # one searcher per (reused) python worker process — the pyarrow
         # dataset open + lexicon warm-up amortizes across all tasks the
-        # worker serves, like any search-tier process would
+        # worker serves, like any search-tier process would. The cache is
+        # keyed on the index VERSION from _meta (bumped by every
+        # build/merge), so long-lived workers never serve stale postings
+        # after a StreamingIndexer microbatch; the version probe is one
+        # 1-row parquet read per task.
         import builtins
 
         cache = getattr(builtins, "_lucille_searchers", None)
         if cache is None:
             cache = builtins._lucille_searchers = {}
-        searcher = cache.get((index_dir, default_field))
-        if searcher is None:
+        meta = read_meta(index_dir)
+        version = meta["version"] if meta else "legacy"
+        key = (index_dir, default_field)
+        cached = cache.get(key)
+        if cached is not None and cached[0] == version:
+            searcher = cached[1]
+        else:
             searcher = IndexSearcher(index_dir, default_field)
-            cache[(index_dir, default_field)] = searcher
+            cache[key] = (version, searcher)
         for pdf in batches:
             rows = []
             for qid, q in zip(pdf["query_id"], pdf["query"]):

@@ -31,12 +31,75 @@ from lucille_spark.query.parser import (
 )
 
 
+class DocSet:
+    """Sorted-array doc set with a LAZY complement: ``neg=True`` means
+    "every ordinal in [0, span) except ``arr``". Boolean algebra on these
+    never materializes the universe — ``a AND NOT b`` is one setdiff of two
+    posting arrays — so negation costs O(|postings|), not O(n_docs). Only a
+    TOP-LEVEL pure negation (whose result genuinely is corpus-sized)
+    materializes the complement, in :meth:`materialize`."""
+
+    __slots__ = ("arr", "neg")
+
+    def __init__(self, arr: np.ndarray, neg: bool = False):
+        self.arr = arr.astype(np.int64, copy=False)
+        self.neg = neg
+
+    @staticmethod
+    def empty() -> "DocSet":
+        return DocSet(np.empty(0, dtype=np.int64))
+
+    def __invert__(self) -> "DocSet":
+        return DocSet(self.arr, not self.neg)
+
+    def __and__(self, o: "DocSet") -> "DocSet":
+        if not self.neg and not o.neg:
+            return DocSet(np.intersect1d(self.arr, o.arr,
+                                         assume_unique=True))
+        if not self.neg and o.neg:   # pos ∧ ¬neg = setdiff
+            return DocSet(np.setdiff1d(self.arr, o.arr, assume_unique=True))
+        if self.neg and not o.neg:
+            return o & self
+        # ¬a ∧ ¬b = ¬(a ∪ b)
+        return DocSet(np.union1d(self.arr, o.arr), True)
+
+    def __or__(self, o: "DocSet") -> "DocSet":
+        if not self.neg and not o.neg:
+            return DocSet(np.union1d(self.arr, o.arr))
+        if not self.neg and o.neg:   # pos ∨ ¬neg = ¬(neg \ pos)
+            return DocSet(np.setdiff1d(o.arr, self.arr, assume_unique=True),
+                          True)
+        if self.neg and not o.neg:
+            return o | self
+        # ¬a ∨ ¬b = ¬(a ∩ b)
+        return DocSet(np.intersect1d(self.arr, o.arr, assume_unique=True),
+                      True)
+
+    def materialize(self, span: int,
+                    tombstones: Optional[np.ndarray] = None) -> np.ndarray:
+        """Concrete sorted ordinal array over universe [0, span), minus
+        tombstones. Allocates O(span) ONLY for negated (pure-NOT) sets."""
+        if self.neg:
+            drop = self.arr
+            if tombstones is not None and tombstones.size:
+                drop = np.union1d(drop, tombstones)
+            mask = np.ones(span, dtype=bool)
+            inb = drop[(drop >= 0) & (drop < span)]
+            mask[inb] = False
+            return np.flatnonzero(mask).astype(np.int64)
+        out = self.arr
+        if tombstones is not None and tombstones.size:
+            out = np.setdiff1d(out, tombstones, assume_unique=True)
+        return out
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, default_field: str = "content"):
         self.reader = IndexReader(index_dir)
         self.default_field = default_field
         # deleted/superseded docs from incremental merges — excluded
-        # everywhere below (compaction folds them away; see index/merge.py)
+        # everywhere below (compaction folds them away; see index/merge.py).
+        # SORTED int64 array (searchsorted membership), not a Python set.
         self.tombstones = self.reader.tombstones
 
     # ------------------------------------------------------------------ API
@@ -65,9 +128,17 @@ class IndexSearcher:
     def match(self, query: str) -> List[str]:
         """Percolator-style boolean matching: sorted doc_ids."""
         node = parse(query, self.default_field)
-        ords = sorted(self._matching(node) - self.tombstones)
+        ords = self._matching(node).materialize(
+            self.reader.ord_span(), self.tombstones).tolist()
         id_map = self.reader.doc_ids_for_ords(ords)
         return sorted(id_map[o] for o in ords)
+
+    def _deleted(self, doc_ord: int) -> bool:
+        t = self.tombstones
+        if t.size == 0:
+            return False
+        i = int(np.searchsorted(t, doc_ord))
+        return i < t.size and int(t[i]) == doc_ord
 
     def _resolve(self, hits: List[Tuple[int, float]]) -> List[Tuple[str, float]]:
         id_map = self.reader.doc_ids_for_ords([d for d, _ in hits])
@@ -113,7 +184,7 @@ class IndexSearcher:
             if order[0].doc == pivot:
                 # full eval — accumulate in ORIGINAL term order so the float
                 # sum matches the oracle bit-for-bit
-                if pivot not in self.tombstones:
+                if not self._deleted(pivot):
                     s = 0.0
                     for c in cursors:
                         if c.doc == pivot:
@@ -155,7 +226,7 @@ class IndexSearcher:
                     fence = min(c.block_last_at(d) for c in cursors) + 1
                     d = max(fence, d + 1)
                     continue
-            if d not in self.tombstones:
+            if not self._deleted(d):
                 s = 0.0
                 for c in cursors_eval:
                     s += c.score()
@@ -167,35 +238,49 @@ class IndexSearcher:
     def _term_postings(self, field: str, term: str, positions: bool = False):
         return self.reader.decode_term(field, term, positions=positions)
 
-    def _matching(self, node) -> Set[int]:
+    def _matching(self, node) -> DocSet:
+        """Boolean evaluation over lazy-complement DocSets. NOT never
+        builds a range(n_docs) universe: negation just flips the complement
+        flag, and the algebra pushes it into setdiffs. Crucially the
+        universe, when a pure negation IS materialized, is the ordinal SPAN
+        (max doc_ord + 1, from _meta) — NOT the live n_docs, which undercounts
+        after incremental merges and would silently drop freshly merged
+        high-ordinal docs from NOT results."""
         if isinstance(node, Term):
             docs, _, _ = self._term_postings(node.field, node.text)
-            return set(int(d) for d in docs)
+            return DocSet(np.asarray(docs, dtype=np.int64))
         if isinstance(node, Phrase):
             return self._phrase_docs(node)
         if isinstance(node, Not):
-            return set(range(self.reader.n_docs(self.default_field))
-                       ) - self._matching(node.child)
+            return ~self._matching(node.child)
         if isinstance(node, And):
-            res: Optional[Set[int]] = None
+            res: Optional[DocSet] = None
             for c in node.children:
                 s = self._matching(c)
                 res = s if res is None else res & s
-                if not res:
-                    return set()
-            return res or set()
+                if res.arr.size == 0 and not res.neg:
+                    return DocSet.empty()
+            return res if res is not None else DocSet.empty()
         if isinstance(node, Or):
+            # Lucene SHOULD + MUST_NOT semantics (MatchQuery.java:85-92):
+            # NOT children EXCLUDE from the union of the positive clauses
+            # (they are prohibited clauses, not boolean ¬ operands).
             pos = [c for c in node.children if not isinstance(c, Not)]
             neg = [c for c in node.children if isinstance(c, Not)]
-            res: Set[int] = set()
+            res: Optional[DocSet] = None
             for c in pos:
-                res |= self._matching(c)
+                s = self._matching(c)
+                res = s if res is None else res | s
+            if res is None:
+                # pure-negative OR: everything except the negated sets
+                res = DocSet.empty()
+                res = ~res  # universe
             for c in neg:
-                res -= self._matching(c.child)
+                res = res & ~self._matching(c.child)
             return res
         raise TypeError(f"unknown node {node!r}")
 
-    def _phrase_docs(self, p: Phrase) -> Set[int]:
+    def _phrase_docs(self, p: Phrase) -> DocSet:
         """Positional phrase match, block-vectorized: the rarest term's
         postings are decoded block-by-block; other terms' positions are
         fetched as flat (doc, pos) arrays for just the doc range each block
@@ -208,7 +293,7 @@ class IndexSearcher:
         for t in set(terms):
             docs, _, _, flat, lens = self.reader.decode_term_flat(p.field, t)
             if docs.size == 0:
-                return set()
+                return DocSet.empty()
             flat_docs = np.repeat(docs.astype(np.int64), lens)
             decoded[t] = (flat_docs, flat.astype(np.int64))
         MAXPOS = np.int64(1) << np.int64(32)
@@ -220,8 +305,8 @@ class IndexSearcher:
             nkeys = nd * MAXPOS + npos
             keys = keys[np.isin(keys + off, nkeys)]
             if keys.size == 0:
-                return set()
-        return set((keys // MAXPOS).tolist())
+                return DocSet.empty()
+        return DocSet(np.unique(keys // MAXPOS))
 
     def _score_candidates(self, node, k: int):
         """Vectorized candidate scoring: per positive term, one np.searchsorted
@@ -230,11 +315,10 @@ class IndexSearcher:
         oracle); tie-break via lexsort on (-score, doc_ord)."""
         import numpy as np
 
-        matched = self._matching(node) - self.tombstones
-        if not matched:
+        cand = self._matching(node).materialize(
+            self.reader.ord_span(), self.tombstones)
+        if cand.size == 0:
             return []
-        cand = np.fromiter(matched, dtype=np.int64, count=len(matched))
-        cand.sort()
         scores = np.zeros(cand.size, dtype=np.float64)
         for t in positive_terms(node):
             docs, tfs, dls = self._term_postings(t.field, t.text)

@@ -33,7 +33,9 @@ class IndexSink:
                  delete_marker_field: Optional[str] = None,
                  delete_marker_value: str = "true",
                  routing_field: Optional[str] = None,
-                 batch_size: int = 100_000):
+                 batch_size: int = 100_000,
+                 order_field: Optional[str] = None,
+                 n_buckets: int = 64):
         self.table_dir = table_dir
         self.id_col = id_col
         self.id_override_field = id_override_field
@@ -43,6 +45,21 @@ class IndexSink:
         self.delete_marker_value = delete_marker_value
         self.routing_field = routing_field
         self.batch_size = batch_size
+        # explicit intra-batch ordering column (source offset / sequence /
+        # ingest timestamp): "last write wins" must mean last in SOURCE
+        # order, not last in physical partition order — after any upstream
+        # shuffle, monotonically_increasing_id encodes partition layout,
+        # which picks an arbitrary winner (Indexer.java sendToIndex order).
+        self.order_field = order_field
+        # the doc table is hash-partitioned by pmod(xxhash64(id), n_buckets)
+        # so upserts rewrite ONLY the buckets containing changed ids —
+        # O(delta × table/n_buckets), not O(table) per microbatch. On
+        # Iceberg/Delta this whole method is a single MERGE INTO.
+        self.n_buckets = n_buckets
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.id_col).cast("string")),
+                      F.lit(self.n_buckets)).cast("int")
 
     def _prepare(self, df: DataFrame) -> DataFrame:
         if self.id_override_field and self.id_override_field in df.columns:
@@ -79,36 +96,77 @@ class IndexSink:
         else:
             deletes = None
             adds = df
-        # last-write-wins within the batch
-        w = Window.partitionBy(self.id_col).orderBy(
-            F.monotonically_increasing_id().desc())
+        # last-write-wins within the batch, in explicit source order when
+        # the caller carries one (order_field); the monotonic-id fallback is
+        # only deterministic for an unshuffled single-source batch.
+        if self.order_field and self.order_field in adds.columns:
+            order = F.col(self.order_field).desc_nulls_last()
+        else:
+            order = F.monotonically_increasing_id().desc()
+        w = Window.partitionBy(self.id_col).orderBy(order)
         adds = (adds.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
+                .filter(F.col("_rn") == 1).drop("_rn")
+                .withColumn("_bucket", self._bucket_col()))
+        adds = adds.persist()
+        n_adds = adds.count()
 
         try:
             existing = spark.read.parquet(self.table_dir)
         except Exception:
             existing = None
-        if existing is not None:
-            gone = adds.select(self.id_col)
-            if deletes is not None:
-                gone = gone.unionByName(deletes)
-            existing = existing.join(F.broadcast(gone.distinct()),
-                                     self.id_col, "left_anti")
-            merged = existing.unionByName(adds, allowMissingColumns=True)
-        else:
-            merged = adds
-        if self.routing_field and self.routing_field in merged.columns:
-            merged = merged.repartition(F.col(self.routing_field))
-        tmp = self.table_dir + "_staging"
-        (merged.write.mode("overwrite")
-         .option("maxRecordsPerFile", self.batch_size).parquet(tmp))
-        final = spark.read.parquet(tmp)
-        n = final.count()
-        final.write.mode("overwrite") \
-            .option("maxRecordsPerFile", self.batch_size) \
-            .parquet(self.table_dir)
-        import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        return {"rows": n}
+        gone = adds.select(self.id_col)
+        if deletes is not None:
+            gone = gone.unionByName(deletes)
+        gone = gone.distinct().withColumn("_bucket", self._bucket_col())
+
+        overwrite_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if existing is not None and "_bucket" not in existing.columns:
+                # legacy unbucketed table: one-time full migration
+                existing = existing.withColumn("_bucket", self._bucket_col())
+                affected = list(range(self.n_buckets))
+            elif existing is not None:
+                # partition pruning: touch only buckets holding changed ids
+                affected = [r[0] for r in gone.select("_bucket")
+                            .distinct().collect()]
+                existing = existing.filter(F.col("_bucket").isin(affected))
+            else:
+                affected = []
+
+            if existing is not None:
+                survivors = existing.join(
+                    F.broadcast(gone.select(self.id_col)),
+                    self.id_col, "left_anti")
+                merged = survivors.unionByName(adds,
+                                               allowMissingColumns=True)
+                # break lineage off table_dir: the overwrite below would
+                # otherwise read the path it is replacing. (With an Iceberg/
+                # Delta catalog this whole read-modify-write is one
+                # snapshot-isolated MERGE INTO; localCheckpoint bounds the
+                # materialization to the affected buckets only.)
+                merged = merged.localCheckpoint(eager=True)
+            else:
+                merged = adds
+            out_buckets = {r[0] for r in
+                           merged.select("_bucket").distinct().collect()}
+            if self.routing_field and self.routing_field in merged.columns:
+                merged = merged.repartition(F.col(self.routing_field))
+            (merged.write.mode("overwrite")
+             .option("maxRecordsPerFile", self.batch_size)
+             .partitionBy("_bucket").parquet(self.table_dir))
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # output; an affected bucket whose rows were all deleted writes
+            # nothing — clear its directory explicitly.
+            import shutil
+
+            for b in set(affected) - out_buckets:
+                shutil.rmtree(os.path.join(self.table_dir, f"_bucket={b}"),
+                              ignore_errors=True)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           overwrite_mode)
+            adds.unpersist()
+        return {"rows": n_adds}

@@ -124,9 +124,21 @@ class StreamingIndexer(StreamingIngest):
                 out = out.filter(~is_del)
             corpus = out.select(*cols)
             if not os.path.exists(os.path.join(index_dir, "corpus_stats")):
-                # bootstrap: the first microbatch creates the index
-                from lucille_spark.index.builder import build_index
+                # bootstrap: the first microbatch creates the index.
+                # Dedup per doc_id first (merge_index does this itself for
+                # later batches): duplicate ids would multiply rows through
+                # the ordinal join-back and double postings.
+                from pyspark.sql import Window
 
+                from lucille_spark.index.builder import (add_doc_identity,
+                                                         build_index)
+
+                ident = add_doc_identity(corpus)
+                w = Window.partitionBy("doc_id").orderBy(
+                    F.col("content_sha256").desc())
+                corpus = (ident.withColumn("_rn", F.row_number().over(w))
+                          .filter(F.col("_rn") == 1)
+                          .drop("_rn", "doc_id", "content_sha256"))
                 build_index(corpus, index_dir, fields=fields,
                             run_id=f"{run_id}-b{batch_id}", **merge_kwargs)
                 res = {"added": -1, "tombstoned": 0}
