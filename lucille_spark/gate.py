@@ -472,7 +472,45 @@ def ann_cosine_top10(spark, sf_dir):
                        "vec_id", "embedding", k=10)
 
 
-@register("ann_cosine_lsh_top10")  # approximate → rows-only check
+def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB oracle for the SRP-LSH ANN path: the hyperplanes are
+    DETERMINISTIC (splitmix64 counter PRNG, ml/similarity.hyperplanes), so
+    their exact double values are inlined as SQL literals; bucket signs,
+    the Hamming<=1 probe, and the exact cosine rerank are then all plain
+    SQL over the same embeddings view the Spark side reads. The probe is
+    expressed sign-by-sign (doc bit != query bit) rather than via integer
+    bucket ids — identical semantics, no bit arithmetic."""
+    from lucille_spark.ml.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+            for p in range(n_planes)]
+    ham = " + ".join(
+        f"(CASE WHEN (list_dot_product(v, {lit}) >= 0) <> "
+        f"(list_dot_product(qv, {lit}) >= 0) THEN 1 ELSE 0 END)"
+        for lit in lits)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+ham AS (
+  SELECT vec_id, v, qv, ({ham}) AS hd
+  FROM d, q
+),
+s AS (
+  SELECT vec_id,
+         list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+           AS raw
+  FROM ham WHERE hd <= 1
+)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank,
+       ROUND(raw, 4) AS cosine
+FROM s ORDER BY raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_cosine_lsh_top10", sql=_ann_lsh_sql())
 def ann_cosine_lsh_top10(spark, sf_dir):
     from lucille_spark.ml.similarity import cosine_topk_lsh
 
