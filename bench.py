@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "250000"))
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "240000"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 # N and 4N cores for the scaling pair. 2->8 is the regime where this VM's
 # memory bandwidth actually scales ~4x (tools/membw.py: ~28 GB/s aggregate
@@ -102,6 +102,31 @@ def main():
             t0 = time.time()
             fn(spark, SF_DIR).count()
             queries[name] = round(time.time() - t0, 3)
+
+        # --- incremental-merge flatness: per-batch merge cost must stay
+        # flat as the index grows (O(delta+lexicon) lexicon maintenance,
+        # not O(postings) rescan — VERDICT r1 item 2). 6 consecutive
+        # 100-doc StreamingIndexer-style merges into the headline index.
+        from pyspark.sql import functions as F
+
+        from lucille_spark.corpus import corpus_df
+        from lucille_spark.index.merge import merge_index
+
+        merge_sec = []
+        shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")  # 100-doc deltas
+        for b in range(3):
+            delta = corpus_df(spark, 100, partitions=2).withColumn(
+                "repo", F.concat(F.lit(f"bench{b}/"), F.col("repo")))
+            t0 = time.time()
+            merge_index(delta, idx_dir, fields=("content",),
+                        run_id=f"bench-m{b}")
+            merge_sec.append(round(time.time() - t0, 3))
+        spark.conf.set("spark.sql.shuffle.partitions", shuf_before)
+        queries["merge_batch_first"] = merge_sec[0]
+        queries["merge_batch_last"] = merge_sec[-1]
+        # warmup-insensitive ratio: last / second (first batch pays JVM warmup)
+        merge_flatness = round(merge_sec[-1] / max(merge_sec[1], 1e-9), 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
@@ -111,13 +136,14 @@ def main():
     if RUN_SCALING:
         lo, hi = SCALE_PAIR
         results = {}
+        env = dict(os.environ, BENCH_SKIP_QUERIES="1")
         for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "bench_worker.py"),
                  str(cpus), str(SCALE_DOCS)],
-                capture_output=True, text=True, timeout=1200)
+                capture_output=True, text=True, timeout=1200, env=env)
             line = out.stdout.strip().splitlines()[-1]
             results[cpus] = json.loads(line)
         thr_low = results[lo]["docs_per_sec"]
@@ -148,6 +174,8 @@ def main():
                                else round(n_docs / build_sec, 1)),
         "index_docs_per_sec_sf_corpus": round(n_docs / build_sec, 1),
         "query_batch_qps": round(30 / batch_sec, 1),
+        "merge_batch_sec": merge_sec,
+        "merge_flatness": merge_flatness,
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -707,13 +707,16 @@ def collapse_by_key(spark, sf_dir):
     )
 
 
-@register("db_child_join", sql="""
+_DB_CHILD_SQL = """
 SELECT o.o_orderkey AS order_key,
        CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_children,
        CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderkey
-""")
+"""
+
+
+@register("db_child_join", sql=_DB_CHILD_SQL)
 def db_child_join(spark, sf_dir):
     """DatabaseConnector child-document sort-merge join
     (connector/jdbc/DatabaseConnector.java:289-338) — Catalyst's own
@@ -725,6 +728,64 @@ def db_child_join(spark, sf_dir):
             .agg(F.count(li.l_orderkey).cast("long").alias("n_children"),
                  F.sum(li.l_quantity.cast("decimal(18,2)")).cast("double")
                  .alias("total_qty")))
+
+
+def _ensure_gate_derby(spark, sf_dir: str) -> str:
+    """One embedded Derby DB per sf, loaded once from the parquet tables
+    via batched spark JDBC writes; cached in /tmp like the gate index."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    db = os.path.join(tempfile.gettempdir(), f"lucille_gate_derby_{tag}")
+    url = f"jdbc:derby:{db}"
+    if not os.path.exists(db):
+        # UPPERCASE aliases: Spark's JDBC writer quotes column names, and
+        # Derby folds unquoted query identifiers to uppercase — writing
+        # lowercase quoted columns would make `SELECT o_orderkey` fail
+        create = url + ";create=true"
+        (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+         .select(F.col("o_orderkey").alias("O_ORDERKEY"))
+         .write.format("jdbc").option("url", create)
+         .option("dbtable", "orders").option("batchsize", "5000")
+         .mode("overwrite").save())
+        (spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+         .select(F.col("l_orderkey").alias("L_ORDERKEY"),
+                 F.col("l_quantity").alias("L_QUANTITY"))
+         .write.format("jdbc").option("url", create)
+         .option("dbtable", "lineitem").option("batchsize", "5000")
+         .mode("overwrite").save())
+    return url
+
+
+@register("db_child_join_jdbc", sql=_DB_CHILD_SQL)
+def db_child_join_jdbc(spark, sf_dir):
+    """DatabaseConnector END-TO-END through real JDBC (embedded Derby):
+    partitioned main read (connector/jdbc/DatabaseConnector.java:52-431,
+    spark partitionColumn ~ the reference's cursor), otherSQLs child merge
+    (:289-338) attaching lineitem rows per order, then the same aggregate
+    the parquet-based db_child_join gates — one oracle, two transports."""
+    from lucille_spark.sources.jdbc import DatabaseConnector
+
+    url = _ensure_gate_derby(spark, sf_dir)
+    dc = DatabaseConnector(
+        spark, url,
+        sql="SELECT o_orderkey FROM orders",
+        id_field="O_ORDERKEY",
+        other_sqls=["SELECT l_orderkey, l_quantity FROM lineitem"],
+        other_join_fields=["L_ORDERKEY"],
+        partition_column="O_ORDERKEY", lower_bound=0,
+        upper_bound=10_000_000, num_partitions=8, fetch_size=5000)
+    df = dc.read()
+    qty = F.aggregate(
+        F.coalesce(F.col("children"),
+                   F.array().cast(df.schema["children"].dataType)),
+        F.lit("0").cast("decimal(18,2)"),
+        lambda a, c: (a + c["L_QUANTITY"].cast("decimal(18,2)"))
+        .cast("decimal(18,2)"))
+    return df.select(
+        F.col("O_ORDERKEY").cast("long").alias("order_key"),
+        F.coalesce(F.size("children"), F.lit(0)).cast("long")
+        .alias("n_children"),
+        F.when(F.col("children").isNull(), F.lit(None).cast("double"))
+        .otherwise(qty.cast("double")).alias("total_qty"))
 
 
 # =========================================================================

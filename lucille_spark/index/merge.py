@@ -65,7 +65,16 @@ def merge_index(
     old_stats = {r["field"]: r for r in spark.read.parquet(
         os.path.join(index_dir, "corpus_stats")).collect()}
     doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
-    max_ord = doc_stats.agg(F.max("doc_ord")).collect()[0][0] or -1
+    # ordinal high-water mark from _meta (1-row read) — scanning the
+    # corpus-sized doc_stats for max(doc_ord) on every microbatch is the
+    # kind of O(index) step this path must not have
+    from lucille_spark.index.reader import read_meta
+
+    meta = read_meta(index_dir)
+    if meta is not None:
+        max_ord = int(meta["ord_span"]) - 1
+    else:
+        max_ord = doc_stats.agg(F.max("doc_ord")).collect()[0][0] or -1
 
     # delta with fresh ordinals above everything existing
     delta = add_doc_identity(new_corpus)

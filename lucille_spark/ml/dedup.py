@@ -65,15 +65,22 @@ def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def token_dictionary(df: DataFrame, text_col: str) -> DataFrame:
+def token_dictionary(df: DataFrame, text_col: str,
+                     hash_ids: bool = False) -> DataFrame:
     """(term, tid) — dense ids by sorted term (oracle-reproducible).
 
-    Scale note: the rank window is over the *distinct-term* table (lexicon
-    sized, not corpus sized); at extreme vocabularies switch tid to a 64-bit
-    string hash — everything downstream only needs determinism.
+    ``hash_ids=True`` is the scale path: tid = |xxhash64(term)| — no global
+    single-partition rank sort anywhere in the plan. Everything downstream
+    (minhash/simhash/fingerprints) only needs a deterministic injective-ish
+    id, so the hash variant is drop-in; the sorted variant stays the
+    default because the DuckDB oracles reproduce its row_number() ids.
     """
     terms = (df.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
              .distinct())
+    if hash_ids:
+        # bounded to [0, P) so the downstream (a*tid + b) stays in int64
+        return terms.withColumn(
+            "tid", F.pmod(F.xxhash64("term"), F.lit(MINHASH_P)))
     w = Window.orderBy("term")
     return terms.withColumn("tid", F.row_number().over(w).cast("long"))
 
@@ -96,11 +103,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
-                        band_size: int = 2) -> DataFrame:
+                        band_size: int = 2,
+                        max_bucket_size: Optional[int] = None) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs.
 
     The band-bucket join is the scale move: instead of O(n^2) comparisons,
-    one shuffle on (band_id, band_key)."""
+    one shuffle on (band_id, band_key).
+
+    ``max_bucket_size`` is the hot-bucket guard for real corpora: one
+    degenerate bucket (e.g. every doc carrying the same license boilerplate
+    signature band) makes the self-join quadratic. Buckets larger than the
+    cap are DROPPED from candidate generation and the drop is logged —
+    their members are better caught by exact dedup or a dedicated
+    boilerplate pass than by an n^2 explosion. Default None = exact (the
+    oracle-matched gate path)."""
     n_bands = n_hashes // band_size
     bands = signatures.select(
         "doc_id",
@@ -112,6 +128,21 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
             for b in range(n_bands)
         ])).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        counts = (bands.groupBy("band_id", "band_key")
+                  .agg(F.count("*").alias("_n")))
+        hot = counts.filter(F.col("_n") > max_bucket_size)
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            biggest = hot.agg(F.max("_n")).collect()[0][0]
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping %d hot bucket(s) over cap "
+                "%d (largest=%d docs) from candidate generation",
+                n_hot, max_bucket_size, biggest)
+            bands = bands.join(F.broadcast(hot.select("band_id", "band_key")),
+                               ["band_id", "band_key"], "left_anti")
     left = bands.alias("l")
     right = bands.alias("r")
     return (left.join(right, ["band_id", "band_key"])

@@ -629,40 +629,182 @@ CHUNK_CHILD_SCHEMA = ("array<struct<id:string,chunk_text:string,offset:int,"
 @register_stage
 @dataclass
 class ChunkText(Stage):
-    """stage/ChunkText.java:137-206 — split text into chunks emitted as
+    """stage/ChunkText.java:130-420 — split text into chunks emitted as
     attached children with id=parent-chunkN, offset/length/chunk_number/
     total_chunks (javadoc contract at ChunkText.java:172-179).
 
-    chunk modes: 'fixed' (N tokens per chunk), 'paragraph' (\\n\\n+),
-    'sentence' ([.!?] boundaries)."""
+    Chunk modes: 'fixed' (N tokens per chunk), 'fixed_chars' (N characters,
+    the reference's FIXED/splitBySize), 'paragraph' (consecutive line
+    breaks), 'sentence' ([.!?] boundaries), 'custom' (separator_regex).
+
+    Post-split pipeline, applied in the reference's exact order
+    (ChunkText.java:199-228):
+      clean -> pre_merge_min (filterByAppend :298-330) ->
+      pre_merge_max (truncateRest :259-266) ->
+      merge_k+overlap_k (mergeAndOverlapChunks :231-254) OR
+      merge_k (mergeChunks :332-355) then overlap_pct (overlapChunks
+      :357-388) -> char_limit (truncateRest).
+    All of it is JVM column expressions (transform/aggregate/slice) —
+    the sequential filterByAppend fold is an F.aggregate, so no Python
+    runs per document."""
     source: str = "text"
     id_col: str = "id"
     mode: str = "fixed"
-    chunk_size: int = 100         # tokens per chunk (fixed mode)
+    chunk_size: int = 100         # tokens (fixed) or chars (fixed_chars)
     separator_regex: str = r"\n\n+"
+    clean_chunks: bool = False
+    pre_merge_min: int = 0        # preMergeMinChunkLen (chars)
+    pre_merge_max: int = 0        # preMergeMaxChunkLen (chars)
+    merge_k: int = 1              # chunksToMerge
+    overlap_k: Optional[int] = None   # chunksToOverlap (with merge_k)
+    overlap_pct: int = 0          # overlapPercentage
+    char_limit: int = 0           # characterLimit
 
-    def apply(self, df):
+    def __post_init__(self):
+        if self.merge_k < 1:
+            raise ValueError("merge_k must be >= 1")
+        if self.overlap_k is not None and self.overlap_pct > 0:
+            raise ValueError("overlap_k and overlap_pct are exclusive")
+        if self.overlap_k is not None and self.overlap_k >= self.merge_k:
+            raise ValueError("overlap_k must be < merge_k")
+
+    def _split(self):
+        col = F.col(self.source)
         if self.mode == "fixed":
-            toks = F.split(F.col(self.source), r"\s+")
-            n_chunks = F.ceil(F.size(toks) / F.lit(self.chunk_size)).cast("int")
-            pieces = F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
+            toks = F.split(col, r"\s+")
+            n = F.ceil(F.size(toks) / F.lit(self.chunk_size)).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), n - 1),
                 lambda i: F.array_join(
                     F.slice(toks, i * self.chunk_size + 1, self.chunk_size),
                     " "))
+        if self.mode == "fixed_chars":
+            n = F.ceil(F.length(col) / F.lit(self.chunk_size)).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.substring(col, i * self.chunk_size + 1,
+                                      self.chunk_size))
+        if self.mode == "paragraph":
+            pat = r"\s*(?>\R)\s*(?>\R)\s*"   # ChunkText.java:189
+        elif self.mode == "custom":
+            pat = self.separator_regex
+        else:                                 # sentence
+            pat = r"(?<=[.!?])\s+"
+        return F.filter(F.split(col, pat),
+                        lambda x: F.trim(x) != F.lit(""))
+
+    @staticmethod
+    def _truncate(pieces, limit: int):
+        return F.transform(
+            pieces, lambda x: F.when(F.length(x) > limit,
+                                     F.trim(F.substring(x, 1, limit)))
+            .otherwise(x))
+
+    def _filter_by_append(self, pieces, min_len: int):
+        """filterByAppend as a sequential aggregate fold: accumulate chunks
+        into `cur` until it reaches min_len, then flush to `done`; a
+        below-min leftover is appended to the LAST flushed chunk (or stands
+        alone when nothing was flushed) — ChunkText.java:298-330."""
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("done"),
+            F.lit("").alias("cur"))
+
+        def step(acc, x):
+            cur2 = F.concat(acc["cur"], x, F.lit(" "))
+            return F.when(
+                F.length(cur2) < min_len,
+                F.struct(acc["done"].alias("done"), cur2.alias("cur"))
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["done"],
+                             F.array(F.trim(cur2))).alias("done"),
+                    F.lit("").alias("cur")))
+
+        def finish(acc):
+            done, cur = acc["done"], acc["cur"]
+            merged_last = F.concat(
+                F.slice(done, 1, F.size(done) - 1),
+                F.array(F.trim(F.concat(F.element_at(done, -1),
+                                        F.lit(" "), cur))))
+            return (F.when(cur == "", done)
+                    .when(F.size(done) == 0, F.array(F.trim(cur)))
+                    .otherwise(merged_last))
+
+        return F.when(F.size(pieces) <= 1, pieces).otherwise(
+            F.aggregate(pieces, acc0, step, finish))
+
+    def _merge_overlap(self, pieces, merge_k: int, overlap_k: int):
+        """mergeAndOverlapChunks: sliding windows of merge_k chunks at
+        stride merge_k - overlap_k (ChunkText.java:231-254)."""
+        step = merge_k - overlap_k
+        end_index = F.size(pieces) - overlap_k
+        result_size = F.floor((end_index - 1) / step).cast("int") + 1
+        return F.when(F.size(pieces) <= 1, pieces).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), result_size - 1),
+                lambda r: F.array_join(
+                    F.slice(pieces, r * step + 1, merge_k), " ")))
+
+    def _merge(self, pieces, merge_k: int):
+        result_size = F.ceil(F.size(pieces) / F.lit(merge_k)).cast("int")
+        return F.when(F.size(pieces) <= 1, pieces).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), result_size - 1),
+                lambda r: F.array_join(
+                    F.slice(pieces, r * merge_k + 1, merge_k), " ")))
+
+    def _overlap_pct(self, pieces, pct: int):
+        """overlapChunks: prefix/suffix context from neighbours, sized as a
+        percentage of the CURRENT chunk (ChunkText.java:357-388)."""
+        n = F.size(pieces)
+
+        def one(x, i):
+            oc = F.floor(F.length(x) * pct / 100).cast("int")
+            prev = F.element_at(pieces, i)          # i is 0-based -> prev
+            nxt = F.element_at(pieces, i + 2)
+            prev_tail = F.substring(
+                prev, F.greatest(F.lit(1), F.length(prev) - oc + 1), oc)
+            nxt_head = F.substring(nxt, 1, oc)
+            pre = F.when(i > 0, F.concat(prev_tail, F.lit(" "))) \
+                .otherwise(F.lit(""))
+            post = F.when(i < n - 1, F.concat(F.lit(" "), nxt_head)) \
+                .otherwise(F.lit(""))
+            return F.trim(F.concat(pre, x, post))
+
+        return F.when(n <= 1, pieces).otherwise(F.transform(pieces, one))
+
+    def apply(self, df):
+        pieces = self._split()
+        if self.clean_chunks:
+            pieces = F.transform(
+                pieces,
+                lambda x: F.trim(F.regexp_replace(x, r"\s*(?>\R)\s*", " ")))
+        if self.pre_merge_min > 0:
+            pieces = self._filter_by_append(pieces, self.pre_merge_min)
+        if self.pre_merge_max > 0:
+            pieces = self._truncate(pieces, self.pre_merge_max)
+        if self.overlap_k is not None:
+            pieces = self._merge_overlap(pieces, self.merge_k, self.overlap_k)
         else:
-            pat = self.separator_regex if self.mode == "paragraph" \
-                else r"(?<=[.!?])\s+"
-            pieces = F.filter(F.split(F.col(self.source), pat),
-                              lambda x: F.trim(x) != F.lit(""))
-            n_chunks = F.size(pieces)
+            if self.merge_k > 1:
+                pieces = self._merge(pieces, self.merge_k)
+            if self.overlap_pct > 0:
+                pieces = self._overlap_pct(pieces, self.overlap_pct)
+        if self.char_limit > 0:
+            pieces = self._truncate(pieces, self.char_limit)
+
+        n_chunks = F.size(pieces)
         children = F.transform(
             pieces,
             lambda x, i: F.struct(
                 F.concat(F.col(self.id_col).cast("string"), F.lit("-chunk"),
                          (i + 1).cast("string")).alias("id"),
                 x.alias("chunk_text"),
-                F.lit(None).cast("int").alias("offset"),
+                # offset = cumulative length of the preceding chunks
+                # (createChildrenDocsWithChunks, ChunkText.java:390-419)
+                F.aggregate(F.slice(pieces, 1, i), F.lit(0),
+                            lambda a, c: a + F.length(c)
+                            ).cast("int").alias("offset"),
                 F.length(x).cast("int").alias("length"),
                 (i + 1).cast("int").alias("chunk_number"),
                 n_chunks.cast("int").alias("total_chunks")))
@@ -761,16 +903,12 @@ class MatchQuery(Stage):
             t = toks(node.field)
             if t is None:
                 return F.lit(False)
-            n = len(node.terms)
-            toks_sql = (f"regexp_extract_all(lower({node.field}),"
-                        " '[a-z0-9_]+', 0)")
-            conds = " and ".join(
-                f"element_at({toks_sql}, cast(i as int) + {off + 1}) = '{x}'"
-                for off, x in enumerate(node.terms))
-            return F.coalesce(
-                (F.size(t) >= n) & F.expr(
-                    f"exists(sequence(0, size({toks_sql}) - {n}), i -> {conds})"),
-                F.lit(False))
+            # parameterized column lambdas share analyzers.tokenize_col —
+            # no SQL-string splicing (terms with quotes are safe) and no
+            # duplicated tokenizer regex to keep in sync
+            from lucille_spark.query.executor_df import phrase_pred
+
+            return F.coalesce(phrase_pred(list(node.terms), t), F.lit(False))
         if isinstance(node, Not):
             return ~self._node_pred(node.child, df)
         if isinstance(node, And):
@@ -909,16 +1047,12 @@ class ExtractEntities(Stage):
             if len(terms) == 1:
                 pred = F.array_contains(toks, terms[0])
             else:
+                # parameterized phrase window over the shared tokenizer —
+                # no SQL-string splicing (dictionary entries with quotes or
+                # regex metacharacters are safe)
                 from lucille_spark.query.executor_df import phrase_pred
 
-                n = len(terms)
-                toks_sql = (f"regexp_extract_all(lower({self.source}),"
-                            " '[a-z0-9_]+', 0)")
-                conds = " and ".join(
-                    f"element_at({toks_sql}, cast(i as int) + {off + 1}) = '{t}'"
-                    for off, t in enumerate(terms))
-                pred = (F.size(toks) >= n) & F.expr(
-                    f"exists(sequence(0, size({toks_sql}) - {n}), i -> {conds})")
+                pred = phrase_pred(terms, toks)
             hits.append(F.when(F.coalesce(pred, F.lit(False)),
                                F.lit(payload)))
         matched = F.array_distinct(
@@ -1117,3 +1251,338 @@ class ApplyFileHandlers(Stage):
         return (df.withColumn("_pfile", parent_file)
                 .join(rolled, F.col("_pfile") == rolled["source"], "left")
                 .drop("_pfile", "source"))
+
+
+# ------------------------------------------ round-2 stages (VERDICT r1 §5)
+
+@register_stage
+@dataclass
+class AddRandomDate(Stage):
+    """stage/AddRandomDate.java:1-77 (seeded-deterministic): uniform random
+    timestamp in [range_start, range_end) — ISO dates, start-of-day UTC.
+    The reference defaults the upper bound to now(), which is not
+    reproducible; a fixed default keeps pipelines deterministic, matching
+    the seeding policy of the other AddRandom* stages here."""
+    dest: str = "data"
+    seed_field: str = "id"
+    range_start: str = "1970-01-01"
+    range_end: str = "2026-01-01"
+
+    def apply(self, df):
+        from datetime import datetime, timezone
+
+        def ms(iso: str) -> int:
+            dt = datetime.strptime(iso, "%Y-%m-%d").replace(
+                tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+
+        start, end = ms(self.range_start), ms(self.range_end)
+        if start > end:
+            raise ValueError(
+                "rangeStartDate is after rangeEndDate")  # AddRandomDate.java:56
+        span = max(end - start, 1)
+        epoch_ms = (F.lit(start)
+                    + F.floor(_seeded_u01(F.col(self.seed_field), 5) * span)
+                    ).cast("long")
+        return self._set(df, self.dest,
+                         F.timestamp_millis(epoch_ms))
+
+
+def _u01_from(col: Column) -> Column:
+    """Uniform [0,1) from an arbitrary string column (per-object seeds)."""
+    h = F.conv(F.substring(F.sha2(col.cast("binary"), 256), 1, 15),
+               16, 10).cast("decimal(20,0)").cast("double")
+    return h % 281474976710656.0 / 281474976710656.0
+
+
+@register_stage
+@dataclass
+class AddRandomNestedField(Stage):
+    """stage/AddRandomNestedField.java:1-330 — writes a nested JSON array
+    of objects built from a mapping of dotted destination paths to source
+    fields, with optional generators for missing sources.
+
+    entries: {"user.name": "name_col", "user.score": "gen_score"} — a value
+    naming an existing column uses it; otherwise it must name a key in
+    ``generators``: {"gen_score": {"type": "int", "min": 0, "max": 100}}
+    (types: int, double, bool, string(words=[...]), date(start,end)).
+    Generator draws are seeded per (row, object index, key), so each of the
+    N objects gets its own value — mirroring the reference's fresh
+    generator call per object (AddRandomNestedField.java:282-296).
+
+    The result column is a JSON string (array of nested objects) — our
+    documents hold dynamic nested JSON as serialized columns, read back via
+    get_json_object/from_json (SURVEY.md §1.3)."""
+    target_field: str = "nested"
+    entries: Dict[str, str] = dc_field(default_factory=dict)
+    num_objects: Optional[int] = None
+    min_num_objects: Optional[int] = None
+    max_num_objects: Optional[int] = None
+    generators: Dict[str, Dict] = dc_field(default_factory=dict)
+    seed_field: str = "id"
+
+    def __post_init__(self):
+        if not self.entries:
+            raise ValueError("entries must be a non-empty mapping")
+        if not self.target_field:
+            raise ValueError("targetField is required")
+        if self.num_objects is not None and self.num_objects <= 0:
+            raise ValueError("numObjects must be a positive integer")
+        if (self.min_num_objects is None) ^ (self.max_num_objects is None):
+            raise ValueError("min/maxNumObjects must be provided together")
+        if self.min_num_objects is not None:
+            if self.min_num_objects <= 0 or self.max_num_objects <= 0:
+                raise ValueError("min/maxNumObjects must be positive")
+            if self.min_num_objects > self.max_num_objects:
+                raise ValueError("minNumObjects must be <= maxNumObjects")
+            if self.num_objects is not None:
+                raise ValueError(
+                    "numObjects and min/maxNumObjects are exclusive")
+        for dest in self.entries:
+            if any(not seg for seg in dest.split(".")):
+                raise ValueError(f"invalid destination {dest!r}")
+
+    def _gen_value(self, spec: Dict, seed: Column) -> Column:
+        u = _u01_from(seed)
+        t = spec.get("type", "int")
+        if t == "int":
+            lo, hi = spec.get("min", 0), spec.get("max", 100)
+            return (F.floor(u * (hi - lo)) + lo).cast("int")
+        if t == "double":
+            return u
+        if t == "bool":
+            return u < spec.get("percent_true", 0.5)
+        if t == "string":
+            words = list(spec.get("words", ("alpha", "beta", "gamma")))
+            arr = F.array(*[F.lit(w) for w in words])
+            return F.element_at(arr,
+                                F.floor(u * len(words)).cast("int") + 1)
+        raise ValueError(f"unknown generator type {t!r}")
+
+    def apply(self, df):
+        cols = set(df.columns)
+
+        def build_obj(i: Column) -> Column:
+            # nest dotted paths into a struct tree
+            tree: Dict = {}
+            for dest, src in self.entries.items():
+                parts = dest.split(".")
+                node = tree
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                if src in cols:
+                    val = F.col(src)
+                elif src in self.generators:
+                    seed = F.concat(F.col(self.seed_field).cast("string"),
+                                    F.lit("#"), i.cast("string"),
+                                    F.lit("#"), F.lit(src))
+                    val = self._gen_value(self.generators[src], seed)
+                else:
+                    raise ValueError(
+                        f"missing value for {dest!r} (source={src!r}) "
+                        "and no generator available")
+                node[parts[-1]] = val
+
+            def to_struct(node: Dict) -> Column:
+                fields = []
+                for k, v in node.items():
+                    col = to_struct(v) if isinstance(v, dict) else v
+                    fields.append(col.alias(k))
+                return F.struct(*fields)
+
+            return to_struct(tree)
+
+        if self.num_objects is not None:
+            n = F.lit(self.num_objects)
+        elif self.min_num_objects is not None:
+            lo, hi = self.min_num_objects, self.max_num_objects
+            n = (F.floor(_seeded_u01(F.col(self.seed_field), 6)
+                         * (hi - lo + 1)) + lo).cast("int")
+        else:
+            n = F.lit(1)
+        objs = F.transform(F.sequence(F.lit(1), n), lambda i: build_obj(i))
+        return self._set(df, self.target_field, F.to_json(objs))
+
+
+@register_stage
+@dataclass
+class FetchUri(Stage):
+    """stage/FetchUri.java:1-200 — batched HTTP GET of a URL column with
+    exponential-backoff retries; emits dest (base64 body) plus
+    <source>_<suffix> columns for size / status code / error.
+
+    Arrow-batched pandas UDF with a thread pool per batch: HTTP is
+    latency-bound, so ~8 concurrent fetches per executor task is the
+    distributed analogue of the reference's single-threaded per-doc loop.
+    Rows with a null/empty source are passed through untouched
+    (FetchUri.java javadoc: 'document will be skipped')."""
+    source: str = "url"
+    dest: str = "data"
+    size_suffix: str = "size"
+    status_suffix: str = "status_code"
+    error_suffix: str = "error"
+    max_size: Optional[int] = None
+    max_retries: int = 0
+    initial_expiry_ms: int = 100
+    max_expiry_ms: int = 10000
+    timeout_ms: int = 60000
+    headers: Dict[str, str] = dc_field(default_factory=dict)
+    status_code_retry_list: Sequence[int] = ()
+    concurrency: int = 8
+
+    def apply(self, df):
+        import pandas as pd
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType)
+
+        cfg = dataclasses.asdict(self)
+        cfg.pop("conditions", None)
+
+        out_type = StructType([
+            StructField("data", StringType()),
+            StructField("size", LongType()),
+            StructField("status", IntegerType()),
+            StructField("error", StringType()),
+        ])
+
+        @F.pandas_udf(out_type)
+        def fetch(urls: pandas.Series) -> pandas.DataFrame:
+            import base64
+            import time as _time
+            import urllib.error
+            import urllib.request
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(url):
+                if url is None or str(url).strip() == "":
+                    return (None, None, None, None)
+                expiry = cfg["initial_expiry_ms"]
+                attempts = cfg["max_retries"] + 1
+                err = status = body = None
+                for attempt in range(attempts):
+                    try:
+                        req = urllib.request.Request(
+                            url, headers=dict(cfg["headers"]))
+                        with urllib.request.urlopen(
+                                req, timeout=cfg["timeout_ms"] / 1000) as r:
+                            status = r.status
+                            body = (r.read(cfg["max_size"])
+                                    if cfg["max_size"] else r.read())
+                        err = None
+                        break
+                    except urllib.error.HTTPError as e:
+                        status, err = e.code, str(e)
+                        if (cfg["status_code_retry_list"]
+                                and e.code not in
+                                cfg["status_code_retry_list"]):
+                            break
+                    except Exception as e:       # noqa: BLE001
+                        err = str(e)
+                    if attempt + 1 < attempts:
+                        _time.sleep(expiry / 1000)
+                        expiry = min(expiry * 2, cfg["max_expiry_ms"])
+                data = (base64.b64encode(body).decode("ascii")
+                        if body is not None else None)
+                size = len(body) if body is not None else None
+                return (data, size, status, err)
+
+            with ThreadPoolExecutor(max_workers=cfg["concurrency"]) as ex:
+                rows = list(ex.map(one, urls.tolist()))
+            return pd.DataFrame(
+                rows, columns=["data", "size", "status", "error"])
+
+        res = fetch(F.col(self.source))
+        out = df.withColumn("_fetch", res)
+        out = (out
+               .withColumn(self.dest, F.col("_fetch.data"))
+               .withColumn(f"{self.source}_{self.size_suffix}",
+                           F.col("_fetch.size"))
+               .withColumn(f"{self.source}_{self.status_suffix}",
+                           F.col("_fetch.status"))
+               .withColumn(f"{self.source}_{self.error_suffix}",
+                           F.col("_fetch.error"))
+               .drop("_fetch"))
+        return out
+
+
+@register_stage
+@dataclass
+class ApplyJSONata(Stage):
+    """stage/ApplyJSONata.java:1-95 — apply a JSONata expression to a
+    field's JSON value (source mode) or to the whole document.
+
+    The expression compiles once (parse errors raise at stage build, like
+    the reference's start()); evaluation runs in an Arrow-batched pandas
+    UDF over JSON strings via the from-scratch subset evaluator in
+    pipeline/jsonata.py. Per-document evaluation failures leave the
+    document unchanged (ApplyJSONata.java:78-81 warn-and-skip).
+
+    Source mode: ``source`` names a JSON-string column; result goes to
+    ``destination`` (default: mutate source). Whole-doc mode (source=None):
+    the row's columns are serialized to one JSON object, transformed, and
+    the result object's top-level keys are written back to matching
+    columns (non-object results or reserved-field mutations skip the doc,
+    matching the reference). New keys require ``extra_columns`` to declare
+    them (Spark schemas are static)."""
+    expression: str = ""
+    source: Optional[str] = None
+    destination: Optional[str] = None
+    extra_columns: Sequence[str] = ()
+    id_col: str = "id"
+
+    def __post_init__(self):
+        from lucille_spark.pipeline.jsonata import Expression
+
+        Expression(self.expression)  # validate eagerly
+
+    def apply(self, df):
+        import pandas as pd
+
+        expr_src = self.expression
+
+        @F.pandas_udf(StringType())
+        def run(s: pandas.Series) -> pandas.Series:
+            from lucille_spark.pipeline.jsonata import (Expression,
+                                                        JsonataError)
+
+            e = Expression(expr_src)
+
+            def go(v):
+                if v is None:
+                    return None
+                try:
+                    return e.evaluate_json(v)
+                except (JsonataError, Exception):   # warn-and-skip
+                    return None
+
+            return s.map(go)
+
+        if self.source is not None:
+            dest = self.destination or self.source
+            out = run(F.col(self.source))
+            # absent/None source or failed evaluation -> unchanged doc
+            if dest in df.columns:
+                out = F.coalesce(out, F.col(dest))
+            return self._set(df, dest, out)
+
+        # whole-doc mode: serialize row -> transform -> merge keys back
+        doc_cols = [c for c in df.columns if not c.startswith("_")]
+        doc_json = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+        transformed = run(doc_json)
+        tmp = df.withColumn("_jsonata", transformed)
+        all_out = list(dict.fromkeys(list(df.columns)
+                                     + list(self.extra_columns)))
+        result = tmp
+        for c in self.extra_columns:
+            if c not in result.columns:
+                result = result.withColumn(c, F.lit(None).cast("string"))
+        for c in all_out:
+            if c == self.id_col:
+                continue  # reserved: id never mutated (reservedFields.conf)
+            new_val = F.get_json_object(F.col("_jsonata"), f"$.{c}")
+            cur = F.col(c)
+            dtype = dict(result.dtypes).get(c, "string")
+            result = result.withColumn(
+                c, F.when(F.col("_jsonata").isNull(), cur)
+                .otherwise(new_val.cast(dtype)))
+        return result.drop("_jsonata")

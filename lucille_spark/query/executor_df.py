@@ -41,16 +41,24 @@ def _tf_col(term: str) -> Column:
     return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("long")
 
 
-def phrase_pred(terms: Sequence[str], toks_col: str = "toks") -> Column:
-    """True when the token sequence appears consecutively (positions path)."""
+def phrase_pred(terms: Sequence[str], toks_col="toks") -> Column:
+    """True when the token sequence appears consecutively in the token-array
+    column. Built entirely from parameterized column lambdas (F.exists /
+    F.get / F.lit) — query terms are never spliced into SQL text, so terms
+    containing quotes or regex metacharacters cannot break (or inject into)
+    the expression. ``toks_col`` may be a name or a Column."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     n = len(terms)
-    conds = " and ".join(
-        f"element_at({toks_col}, cast(i as int) + {off + 1}) = '{t}'"
-        for off, t in enumerate(terms)
-    )
-    return F.expr(
-        f"exists(sequence(0, size({toks_col}) - {n}), i -> {conds})"
-    ) & (F.size(toks_col) >= n)
+
+    def window_ok(i: Column) -> Column:
+        cond = None
+        for off, t in enumerate(terms):
+            eq = F.get(toks, i + F.lit(off)) == F.lit(t)
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    return (F.size(toks) >= n) & F.exists(
+        F.sequence(F.lit(0), F.size(toks) - n), window_ok)
 
 
 def bm25_query_df(

@@ -26,13 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# ARCHIVE_FILE_SEPARATOR: entry paths are "<archive-path>!<entry-name>"
+# (connector/FileConnector.java:91, BaseStorageClient.getArchiveEntryFullPath
+# :391-392). Supported types mirror isSupportedArchiveFileType /
+# isSupportedCompressedFileType (BaseStorageClient.java:430-455).
+ARCHIVE_SEP = "!"
+_ARCHIVE_RE = r"\.(zip|tar|tar\.gz|tgz)$"
+_COMPRESSED_RE = r"\.gz$"
+
+
 class FileSource:
     def __init__(self, spark: SparkSession, root: str,
                  include_regex: Optional[str] = None,
                  exclude_regex: Optional[str] = None,
                  modified_after: Optional[str] = None,
                  doc_id_prefix: str = "",
-                 state_dir: Optional[str] = None):
+                 state_dir: Optional[str] = None,
+                 handle_archived_files: bool = False,
+                 handle_compressed_files: bool = False):
         self.spark = spark
         self.root = root
         self.include_regex = include_regex
@@ -40,23 +51,124 @@ class FileSource:
         self.modified_after = modified_after
         self.doc_id_prefix = doc_id_prefix
         self.state_dir = state_dir
+        self.handle_archived_files = handle_archived_files
+        self.handle_compressed_files = handle_compressed_files
 
-    def _listing(self) -> DataFrame:
+    def _raw_listing(self) -> DataFrame:
         df = (self.spark.read.format("binaryFile")
               .option("recursiveFileLookup", "true").load(self.root))
-        if self.include_regex:
-            df = df.filter(F.col("path").rlike(self.include_regex))
-        if self.exclude_regex:
-            df = df.filter(~F.col("path").rlike(self.exclude_regex))
         if self.modified_after:
             df = df.filter(F.col("modificationTime") > F.lit(self.modified_after))
         return df
 
+    def _name_filter(self, df: DataFrame, col: str = "path") -> DataFrame:
+        if self.include_regex:
+            df = df.filter(F.col(col).rlike(self.include_regex))
+        if self.exclude_regex:
+            df = df.filter(~F.col(col).rlike(self.exclude_regex))
+        return df
+
+    def _is_expandable(self):
+        cond = F.lit(False)
+        if self.handle_archived_files:
+            cond = cond | F.lower(F.col("path")).rlike(_ARCHIVE_RE)
+        if self.handle_compressed_files:
+            cond = cond | F.lower(F.col("path")).rlike(_COMPRESSED_RE)
+        return cond
+
+    def _listing(self) -> DataFrame:
+        df = self._raw_listing()
+        if self.handle_archived_files or self.handle_compressed_files:
+            df = df.filter(~self._is_expandable())
+        return self._name_filter(df)
+
+    def _expanded(self) -> DataFrame:
+        """Archive/compressed members as file rows (path!entry), the
+        BaseStorageClient.handleArchiveFiles:281-330 edge path. Python
+        zipfile/tarfile/gzip inside mapInPandas — per-file CPU-bound
+        decompression with no JVM builtin; each archive is one row so the
+        work distributes per archive. Recursive archives are not expanded
+        (matching the reference's documented limitation)."""
+        import pandas as pd
+
+        handle_arch = self.handle_archived_files
+        handle_comp = self.handle_compressed_files
+        schema = ("path string, length long, modificationTime timestamp, "
+                  "content binary")
+
+        def expand(batches):
+            import datetime
+            import gzip
+            import io
+            import os as _os
+            import tarfile
+            import zipfile
+
+            def tar_entries(fileobj, base, rows, mode="r"):
+                with tarfile.open(fileobj=fileobj, mode=mode) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        data = tf.extractfile(m).read()
+                        rows.append((f"{base}{ARCHIVE_SEP}{m.name}",
+                                     len(data),
+                                     datetime.datetime.utcfromtimestamp(
+                                         m.mtime),
+                                     data))
+
+            for pdf in batches:
+                rows = []
+                for path, mtime, content in zip(pdf["path"],
+                                                pdf["modificationTime"],
+                                                pdf["content"]):
+                    low = path.lower()
+                    try:
+                        if handle_arch and (low.endswith(".tar.gz")
+                                            or low.endswith(".tgz")):
+                            tar_entries(io.BytesIO(content), path, rows,
+                                        mode="r:gz")
+                        elif handle_arch and low.endswith(".tar"):
+                            tar_entries(io.BytesIO(content), path, rows)
+                        elif handle_arch and low.endswith(".zip"):
+                            with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                                for info in zf.infolist():
+                                    if info.is_dir():
+                                        continue
+                                    data = zf.read(info)
+                                    rows.append((
+                                        f"{path}{ARCHIVE_SEP}{info.filename}",
+                                        len(data),
+                                        datetime.datetime(*info.date_time),
+                                        data))
+                        elif handle_comp and low.endswith(".gz"):
+                            data = gzip.decompress(content)
+                            inner = _os.path.basename(path)[:-3]
+                            rows.append((f"{path}{ARCHIVE_SEP}{inner}",
+                                         len(data), mtime, data))
+                    except Exception:
+                        # unreadable member/archive -> skip, like the
+                        # reference's canReadEntryData guard (:294-297)
+                        continue
+                yield pd.DataFrame(
+                    rows, columns=["path", "length", "modificationTime",
+                                   "content"])
+
+        src = self._raw_listing().filter(self._is_expandable())
+        out = src.select("path", "modificationTime", "content") \
+            .mapInPandas(expand, schema=schema)
+        # include/exclude apply to the ENTRY path (BaseStorageClient:300)
+        return self._name_filter(out)
+
     def read(self) -> DataFrame:
         """Full publish: (doc_id, file_path, file_size_bytes,
         file_modification_date, content:binary) — field names per
-        connector/storageclient/BaseStorageClient (FileConnector docs)."""
+        connector/storageclient/BaseStorageClient (FileConnector docs).
+        With handle_archived_files/handle_compressed_files, .zip/.tar/
+        .tar.gz/.gz members become documents with path archive!entry."""
         df = self._listing()
+        if self.handle_archived_files or self.handle_compressed_files:
+            df = df.select("path", "length", "modificationTime", "content") \
+                .unionByName(self._expanded())
         return df.select(
             F.concat(F.lit(self.doc_id_prefix),
                      F.sha2(F.col("path").cast("binary"), 256)).alias("doc_id"),
@@ -65,6 +177,24 @@ class FileSource:
             F.col("modificationTime").alias("file_modification_date"),
             F.col("content"),
         )
+
+    def move_after_processing(self, dest_dir: str) -> int:
+        """FileConnector moveToAfterProcessing (FileConnector.java:83-196):
+        relocate successfully processed LOCAL files; returns count moved.
+        Cloud URIs are left in place (the reference likewise implements the
+        move for local storage only)."""
+        import shutil
+
+        os.makedirs(dest_dir, exist_ok=True)
+        moved = 0
+        for r in self._listing().select("path").collect():
+            p = r["path"]
+            local = p[len("file:"):] if p.startswith("file:") else p
+            if os.path.exists(local):
+                shutil.move(local,
+                            os.path.join(dest_dir, os.path.basename(local)))
+                moved += 1
+        return moved
 
     # --- incremental publish with state (FileConnectorStateManager parity)
     def _state_path(self) -> str:

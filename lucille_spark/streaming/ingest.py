@@ -34,13 +34,34 @@ from lucille_spark.sinks.index_sink import IndexSink
 class StreamingIngest:
     def __init__(self, spark: SparkSession, pipeline: Pipeline,
                  sink: IndexSink, checkpoint_dir: str,
-                 metrics_dir: Optional[str] = None, run_id: str = "stream-0"):
+                 metrics_dir: Optional[str] = None, run_id: str = "stream-0",
+                 failed_dir: Optional[str] = None):
         self.spark = spark
         self.pipeline = pipeline
         self.sink = sink
         self.checkpoint_dir = checkpoint_dir
         self.metrics_dir = metrics_dir
         self.run_id = run_id
+        # dead-letter quarantine (core/Worker.java:97-114: a doc whose
+        # stage processing throws goes to the DLQ topic instead of killing
+        # the worker). Vectorized pipelines fail per-BATCH, so the unit of
+        # quarantine is the microbatch: its raw rows land in ``_failed``
+        # as JSON with the error, and the stream keeps running.
+        self.failed_dir = failed_dir
+
+    def _quarantine(self, batch_df: DataFrame, batch_id: int,
+                    err: Exception) -> None:
+        if not self.failed_dir:
+            raise err
+        quarantined = batch_df.select(
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])
+                      ).alias("doc_json"),
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(int(batch_id)).alias("batch_id"),
+            F.lit(f"{type(err).__name__}: {err}").alias("error"),
+            F.current_timestamp().alias("failed_at"))
+        quarantined.write.mode("append").parquet(
+            os.path.join(self.failed_dir, "_failed"))
 
     def _foreach_batch(self) -> Callable:
         pipeline, sink = self.pipeline, self.sink
@@ -48,12 +69,17 @@ class StreamingIngest:
 
         def process(batch_df: DataFrame, batch_id: int):
             t0 = time.time()
-            out = pipeline.finish(batch_df)
-            res = sink.upsert(out)
+            try:
+                out = pipeline.finish(batch_df)
+                res = sink.upsert(out)
+                status, n_rows = "complete", int(res["rows"])
+            except Exception as e:   # noqa: BLE001 — quarantine, don't die
+                self._quarantine(batch_df, batch_id, e)
+                status, n_rows = "failed_quarantined", 0
             if metrics_dir:
                 batch_df.sparkSession.createDataFrame(
-                    [(run_id, int(batch_id), int(res["rows"]),
-                      time.time() - t0, "complete")],
+                    [(run_id, int(batch_id), n_rows,
+                      time.time() - t0, status)],
                     "run_id string, batch_id long, n_rows long, "
                     "seconds double, status string",
                 ).write.mode("append").parquet(metrics_dir)

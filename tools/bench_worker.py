@@ -100,18 +100,20 @@ def main():
         build_sec = time.time() - t0
         n = stats["n_docs"] if n_docs_actual is None else n_docs_actual
 
-        from lucille_spark.query.searcher import IndexSearcher
-
-        searcher = IndexSearcher(out)
         qtimes = {}
-        queries = DOCS_QUERIES if sf_dir else F1_QUERIES
-        for name, q in queries.items():
-            t0 = time.time()
-            hits = searcher.search(q, k=10)
-            qtimes[name] = round(time.time() - t0, 4)
-            assert hits or "rare" in name or "phrase" in name
+        lex_rows = None
+        if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+            from lucille_spark.query.searcher import IndexSearcher
 
-        lex_rows = spark.read.parquet(os.path.join(out, "lexicon")).count()
+            searcher = IndexSearcher(out)
+            queries = DOCS_QUERIES if sf_dir else F1_QUERIES
+            for name, q in queries.items():
+                t0 = time.time()
+                hits = searcher.search(q, k=10)
+                qtimes[name] = round(time.time() - t0, 4)
+                assert hits or "rare" in name or "phrase" in name
+
+            lex_rows = spark.read.parquet(os.path.join(out, "lexicon")).count()
         print(json.dumps({
             "cpus": cpus, "n_docs": n, "build_sec": round(build_sec, 3),
             "docs_per_sec": round(n / build_sec, 1),
