@@ -126,19 +126,27 @@ def corpus_stats(spark, sf_dir):
 
 def _bm25_sql(terms: Sequence[str], k: int = 10, mode: str = "or",
               exclude: Sequence[str] = (),
-              phrases: Sequence[Sequence[str]] = ()) -> str:
-    """DuckDB SQL mirroring executor_df.bm25_query_df term-for-term."""
+              phrases: Sequence[Sequence[str]] = (),
+              boosts: dict | None = None) -> str:
+    """DuckDB SQL mirroring executor_df.bm25_query_df term-for-term
+    (incl. clause boosts: (idf * boost) * tfnorm, same association)."""
     tf_cols = ",\n       ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
         for i, t in enumerate(terms))
     df_cols = ",\n       ".join(
         f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
         for i in range(len(terms)))
+
+    def idf_expr(i, t):
+        base = f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        b = float((boosts or {}).get(t, 1.0))
+        return f"({base} * {b!r})" if b != 1.0 else base
+
     score = " + ".join(
-        f"(CASE WHEN tf_{i} > 0 THEN ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f"(CASE WHEN tf_{i} > 0 THEN {idf_expr(i, t)}"
         f" * (tf_{i} / (tf_{i} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl)))"
         f" ELSE 0.0 END)"
-        for i in range(len(terms)))
+        for i, t in enumerate(terms))
     op = " AND " if mode == "and" else " OR "
     match = op.join(f"tf_{i} > 0" for i in range(len(terms)))
     for ph in phrases:
@@ -206,6 +214,18 @@ def bm25_rare_or(spark, sf_dir):
 @register("bm25_not", sql=_bm25_sql(["merge"], exclude=["join"]))
 def bm25_not(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, ["merge"], exclude=["join"])
+
+
+@register("bm25_boosted",
+          sql=_bm25_sql(["window", "filter"], boosts={"window": 2.0}))
+def bm25_boosted(spark, sf_dir):
+    """Lucene clause boosts (`window^2 OR filter`) through the DataFrame
+    executor — (idf * boost) * tfnorm, QueryParser boost contract."""
+    res = bm25_query_df(_docs(spark, sf_dir), "doc_id", "text",
+                        ["window", "filter"], k=10,
+                        boosts={"window": 2.0})
+    return res.select("doc_id", F.col("rank").cast("long").alias("rank"),
+                      "score")
 
 
 @register("bm25_phrase",
@@ -293,6 +313,29 @@ def wand_index_top10(spark, sf_dir):
 
     idx = _ensure_gate_index(spark, sf_dir)
     hits = IndexSearcher(idx).search("content:window OR content:filter", k=10)
+    rows = [(doc_id, i + 1, round(score, 4))
+            for i, (doc_id, score) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id string, rank long, score double")
+
+
+_WAND_BOOST_SQL = _WAND_SQL.replace(
+    """0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+         * (tf_0 /""",
+    """0.0 + (CASE WHEN tf_0 > 0 THEN (ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * 2.0)
+         * (tf_0 /""")
+
+
+@register("wand_boosted_top10", sql=_WAND_BOOST_SQL)
+def wand_boosted_top10(spark, sf_dir):
+    """Clause boost through the FULL engine path: `window^2 OR filter`
+    parsed to a boosted Term, boost folded into the cursor's idf (score,
+    global max and block-max bounds all scale together, so block-max WAND
+    stays exact) — vs the same boosted BM25 in SQL."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    hits = IndexSearcher(idx).search(
+        "content:window^2 OR content:filter", k=10)
     rows = [(doc_id, i + 1, round(score, 4))
             for i, (doc_id, score) in enumerate(hits)]
     return spark.createDataFrame(rows, "doc_id string, rank long, score double")
@@ -575,28 +618,40 @@ def text_fingerprint(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir), "doc_id", "text")
 
 
-@register("text_langid", sql=f"""
+def _langid_sql() -> str:
+    """Generated from the SAME profile dict the Spark side uses, so the
+    language set and the (max hits, lex-smallest code) tie-break can never
+    drift between engines."""
+    from lucille_spark.ml.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hit_cols = ",\n    ".join(
+        "CAST(len(list_intersect(list_distinct(toks), ["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"])) AS BIGINT) AS hits_{lang}"
+        for lang in langs)
+    all_hits = ", ".join(f"hits_{lang}" for lang in langs)
+    cases = "\n       ".join(
+        "WHEN " + " AND ".join(f"hits_{lang} >= hits_{o}"
+                               for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs[:-1])
+    return f"""
 WITH {_TOKS_CTE},
 h AS (
   SELECT doc_id,
-    CAST(len(list_intersect(list_distinct(toks),
-      ['der','die','das','und','ist','nicht'])) AS BIGINT) AS hits_de,
-    CAST(len(list_intersect(list_distinct(toks),
-      ['the','a','of','and','to','in','is'])) AS BIGINT) AS hits_en,
-    CAST(len(list_intersect(list_distinct(toks),
-      ['el','la','de','que','y','es'])) AS BIGINT) AS hits_es,
-    CAST(len(list_intersect(list_distinct(toks),
-      ['le','la','de','et','est','que'])) AS BIGINT) AS hits_fr
+    {hit_cols}
   FROM toks
 )
-SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
-  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'unknown'
-       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-       WHEN hits_es >= hits_fr THEN 'es'
-       ELSE 'fr' END AS predicted
+SELECT doc_id, {all_hits},
+  CASE WHEN greatest({all_hits}) = 0 THEN 'unknown'
+       {cases}
+       ELSE '{langs[-1]}' END AS predicted
 FROM h
-""")
+"""
+
+
+@register("text_langid", sql=_langid_sql())
 def text_langid(spark, sf_dir):
     from lucille_spark.ml.textstats import language_scores
 
@@ -884,8 +939,11 @@ def stage_chunk_text(spark, sf_dir):
         "chunk_text")
 
 
-def _lsh_bands_sql(n_hashes=8, band_size=2):
+def _lsh_bands_sql(n_hashes=8, band_size=2, subset_mod=None):
     from lucille_spark.ml.dedup import MINHASH_P, _hash_params
+
+    subset_where = (f"WHERE doc_id % {subset_mod} = 0"
+                    if subset_mod else "")
 
     hcols = ",\n       ".join(
         f"CAST(MIN(({a} * tid + {b}) % {MINHASH_P}) AS BIGINT) AS h_{j}"
@@ -901,7 +959,8 @@ def _lsh_bands_sql(n_hashes=8, band_size=2):
     return f"""
 WITH {_TOKS_CTE},
 {_TOKDICT_CTE},
-ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks
+       {subset_where}),
 sigs AS (
   SELECT doc_id, {hcols}
   FROM ex JOIN tokdict USING (term) GROUP BY doc_id
@@ -921,6 +980,122 @@ def dedup_lsh_candidate_pairs(spark, sf_dir):
 
     sigs = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", 8)
     return lsh_candidate_pairs(sigs, 8, band_size=2)
+
+
+def _dedup_e2e_sql(n_hashes=8, band_size=2, n=3, threshold=0.0):
+    """MinHash -> banded LSH -> exact shingle-Jaccard verify, end-to-end.
+
+    Runs on the deterministic doc_id%10=0 subset: the synthetic corpus's
+    tiny vocabulary makes LSH near-degenerate (most pairs collide), so the
+    full-corpus verify join is quadratic-sized at sf0.1 — the subset keeps
+    the END-TO-END semantics under test at every sf while bounding pairs.
+    (Real corpora don't have 31-term vocabularies; the hot-bucket cap in
+    lsh_candidate_pairs is the production guard for when they act like it.)"""
+    bands_sql = _lsh_bands_sql(n_hashes, band_size, subset_mod=10)
+    # reuse the candidate-pair query's CTE chain (everything before its
+    # final projection) and add the verify CTEs after it
+    prefix = bands_sql.rsplit("SELECT a.doc_id AS doc_a", 1)[0].rstrip()
+    return f"""
+{prefix},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {n} THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS sh
+  FROM toks
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT),
+             4) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh))
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= {threshold}
+"""
+
+
+@register("dedup_e2e_verified", sql=_dedup_e2e_sql())
+def dedup_e2e_verified(spark, sf_dir):
+    """The full near-dup pipeline: MinHash signatures -> banded LSH
+    candidates -> exact n-gram Jaccard verify on candidates only (no
+    quadratic step anywhere; the verify is two hash joins). Runs on the
+    doc_id%10=0 subset — see _dedup_e2e_sql — with the token dictionary
+    still built over the FULL corpus, like a production incremental run
+    would share one dictionary."""
+    from lucille_spark.ml.dedup import (lsh_candidate_pairs,
+                                        minhash_signatures,
+                                        token_dictionary,
+                                        verify_candidate_pairs)
+
+    docs = _docs(spark, sf_dir)
+    subset = docs.filter(F.col("doc_id") % 10 == 0)
+    tokdict = token_dictionary(docs, "text")
+    sigs = minhash_signatures(subset, "doc_id", "text", 8, tokdict=tokdict)
+    cands = lsh_candidate_pairs(sigs, 8, band_size=2)
+    # threshold 0: every candidate's exact jaccard is emitted, so the
+    # oracle hash-checks the full verify computation, not just survivors
+    out = verify_candidate_pairs(subset, cands, "doc_id", "text", n=3,
+                                 threshold=0.0)
+    return out.select("doc_a", "doc_b",
+                      F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("ann_batch_topk", sql="""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id <= 2),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id > 2),
+s AS (
+  SELECT qid, vec_id,
+         list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+           AS raw
+  FROM d, q
+),
+r AS (
+  SELECT qid, vec_id, raw,
+         row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rnk
+  FROM s
+)
+SELECT CAST(qid AS BIGINT) AS qid, vec_id,
+       CAST(rnk AS BIGINT) AS rank, ROUND(raw, 4) AS cosine
+FROM r WHERE rnk <= 5
+""")
+def ann_batch_topk(spark, sf_dir):
+    """Batched ANN: top-5 neighbours for a SET of query vectors in one
+    plan — queries broadcast against the doc side, per-query window rank.
+    This is the scale shape for query fan-out (one shuffle keyed by query,
+    never a driver-side loop over queries)."""
+    from pyspark.sql import Window
+
+    from lucille_spark.ml.similarity import _as_double, _dot
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("qv"))
+    ds_ = emb.filter(F.col("vec_id") > 2).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"))
+    joined = ds_.crossJoin(F.broadcast(qs))
+    raw = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    s = joined.select("qid", "vec_id", raw.alias("raw"))
+    w = Window.partitionBy("qid").orderBy(F.col("raw").desc(), F.col("vec_id"))
+    return (s.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select(F.col("qid").cast("long").alias("qid"), "vec_id",
+                    "rank", F.round("raw", 4).alias("cosine")))
 
 
 @register("bm25_fielded", sql=f"""
@@ -987,6 +1162,27 @@ def bm25_fielded(spark, sf_dir):
     w = Window.orderBy(F.col("raw").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")) \
               .select("doc_id", "rank", F.round("raw", 4).alias("score"))
+
+
+@register("stage_jsonata", sql="""
+SELECT doc_id,
+       '{"k":"' || lang || '-' || source || '","n":'
+       || CAST(doc_id * 2 AS VARCHAR) || '}' AS out
+FROM documents
+""")
+def stage_jsonata(spark, sf_dir):
+    """ApplyJSONata end-to-end: row -> JSON -> subset-evaluator transform
+    (object constructor, string concat &, $number arithmetic) -> JSON
+    string, byte-compared against the oracle's hand-built JSON."""
+    from lucille_spark.pipeline.stages import ApplyJSONata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "source")).alias("docjson"))
+    st = ApplyJSONata(
+        expression='{"k": lang & "-" & source, "n": $number(doc_id) * 2}',
+        source="docjson", destination="out")
+    return st.apply(docs).select("doc_id", "out")
 
 
 @register("source_sequence", sql="""

@@ -179,9 +179,11 @@ class TermCursor:
     first_doc/last_doc fences, the skip-list equivalent)."""
 
     def __init__(self, reader: IndexReader, field: str, term: str,
-                 need_positions: bool = False):
+                 need_positions: bool = False, boost: float = 1.0):
         self.field, self.term = field, term
-        self.idf = reader.idf(field, term)
+        # clause boost folds into idf: score(), max_score and the
+        # block-max bounds all scale together, so WAND stays exact
+        self.idf = reader.idf(field, term) * boost
         info = reader.term_info(field, term)
         self.df = info["df"] if info else 0
         self.avgdl = reader.avgdl(field)

@@ -210,3 +210,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return (pairs.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def verify_candidate_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                           text_col: str, n: int = 3,
+                           threshold: float = 0.0) -> DataFrame:
+    """The verify step after LSH: exact n-gram Jaccard computed ONLY for
+    the candidate pairs (doc_a, doc_b) — two hash joins against the
+    shingle table instead of any quadratic blow-up. This is the full
+    MinHash→LSH→verify near-dup pipeline's final stage; at 100 TB the
+    shingle table is computed once and reused for both joins."""
+    sh = df.select(F.col(id_col).alias("_vid"),
+                   F.array_distinct(shingles_col(text_col, n)).alias("_sh"))
+    out = (pairs
+           .join(sh.select(F.col("_vid").alias("doc_a"),
+                           F.col("_sh").alias("sh_a")), "doc_a")
+           .join(sh.select(F.col("_vid").alias("doc_b"),
+                           F.col("_sh").alias("sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (out.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

@@ -85,6 +85,14 @@ LANG_PROFILES: Dict[str, Sequence[str]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht"),
     "es": ("el", "la", "de", "que", "y", "es"),
     "fr": ("le", "la", "de", "et", "est", "que"),
+    # round 2: broader coverage; profiles are ASCII-only because the
+    # StandardAnalyzer approximation tokenizes [a-z0-9_]+ (analyzers.py)
+    "it": ("il", "di", "che", "e", "non", "per"),
+    "pt": ("o", "de", "que", "e", "do", "uma"),
+    "nl": ("de", "het", "een", "en", "van", "niet"),
+    "sv": ("och", "att", "det", "som", "av", "den"),
+    "pl": ("nie", "jest", "to", "na", "czy", "ale"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk"),
 }
 
 

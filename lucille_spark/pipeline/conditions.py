@@ -30,16 +30,27 @@ class Condition:
     values: Sequence[str] = ()
     operator: str = "must"      # must | must_not
     policy: str = "any"         # any field matches | all fields match
+    # valuesPath (core/Condition.java:62-75): load the value set from a
+    # file, one value per line — resolved once at plan time on the driver
+    values_path: Optional[str] = None
+
+    def _value_set(self) -> Sequence[str]:
+        if self.values_path:
+            with open(self.values_path) as fh:
+                return [line.rstrip("\n") for line in fh
+                        if line.rstrip("\n")]
+        return list(self.values)
 
     def column(self, df: DataFrame) -> Column:
+        values = self._value_set()
         per_field = []
         for f_name in self.fields:
             if f_name not in df.columns:
                 per_field.append(F.lit(False))
                 continue
             col = F.col(f_name)
-            if self.values:
-                c = col.isin(list(self.values))
+            if values:
+                c = col.isin(values)
             else:
                 c = col.isNotNull()
             per_field.append(c)

@@ -547,6 +547,12 @@ class Contains(Stage):
                          F.when(pred, F.lit(self.output_value)))
 
 
+def _lang_profiles():
+    from lucille_spark.ml.textstats import LANG_PROFILES
+
+    return LANG_PROFILES
+
+
 @register_stage
 @dataclass
 class DetectLanguage(Stage):
@@ -556,12 +562,11 @@ class DetectLanguage(Stage):
     source: str = ""
     lang_dest: str = "language"
     conf_dest: str = "language_confidence"
-    profiles: Dict[str, Sequence[str]] = dc_field(default_factory=lambda: {
-        "en": ("the", "a", "of", "and", "to", "in", "is"),
-        "de": ("der", "die", "das", "und", "ist", "nicht"),
-        "es": ("el", "la", "de", "que", "y", "es"),
-        "fr": ("le", "la", "de", "et", "est", "que"),
-    })
+    # defaults to ml/textstats.LANG_PROFILES (10 languages, ASCII-only to
+    # match the analyzer's token alphabet) — one profile source for the
+    # stage and the gated language_scores op
+    profiles: Dict[str, Sequence[str]] = dc_field(
+        default_factory=lambda: dict(_lang_profiles()))
 
     def apply(self, df):
         from lucille_spark.analysis import tokenize_col
@@ -1032,31 +1037,91 @@ class ExtractEntities(Stage):
     single-word entries via array_intersect + map lookup, multi-word entries
     via consecutive-token window checks (one codegen'd pass, dictionary
     broadcast as literals; at very large dictionaries switch to a broadcast
-    join on the exploded tokens)."""
+    join on the exploded tokens).
+
+    Options mirror ExtractEntities.java:59-90:
+    - ignore_case (ref default false; ours true, preserving round-1
+      behavior — set False for case-sensitive matching)
+    - only_whole_words (default true; False matches substrings of the raw
+      text, the reference's non-whole-word trie mode)
+    - use_payloads (default true; False emits the matched entry itself)
+    - stop_on_hit (default false; True keeps only the first dictionary
+      entry that matches, in dictionary order)
+    - ignore_overlaps (default false; True drops a matched entry whose
+      token sequence is strictly contained in another matched entry —
+      the doc-level equivalent of the trie's longest-match-wins, computed
+      statically over the dictionary at plan time)."""
     source: str = ""
     dest: str = "entities"
     dictionary: Dict[str, str] = dc_field(default_factory=dict)  # term->payload
+    ignore_case: bool = True
+    only_whole_words: bool = True
+    use_payloads: bool = True
+    stop_on_hit: bool = False
+    ignore_overlaps: bool = False
+
+    @staticmethod
+    def _contains_seq(small: Sequence[str], big: Sequence[str]) -> bool:
+        if len(small) >= len(big):
+            return False
+        return any(tuple(big[i:i + len(small)]) == tuple(small)
+                   for i in range(len(big) - len(small) + 1))
+
+    def _entry_terms(self, entry: str):
+        import re
+
+        if self.ignore_case:
+            from lucille_spark.analysis import tokenize_py
+
+            return tokenize_py(entry)
+        return re.findall(r"[A-Za-z0-9_]+", entry)
 
     def apply(self, df):
-        from lucille_spark.analysis import tokenize_col, tokenize_py
+        from lucille_spark.analysis import tokenize_col
 
-        toks = tokenize_col(F.col(self.source))
+        if self.ignore_case:
+            toks = tokenize_col(F.col(self.source))
+        else:
+            toks = F.regexp_extract_all(
+                F.col(self.source), F.lit("[A-Za-z0-9_]+"), F.lit(0))
+
+        entry_terms = {e: self._entry_terms(e) for e in self.dictionary}
+
+        def match_pred(entry: str):
+            if not self.only_whole_words:
+                raw = F.col(self.source)
+                needle = F.lit(entry.lower() if self.ignore_case else entry)
+                hay = F.lower(raw) if self.ignore_case else raw
+                return F.contains(hay, needle)
+            terms = entry_terms[entry]
+            if not terms:
+                return F.lit(False)
+            if len(terms) == 1:
+                return F.array_contains(toks, terms[0])
+            # parameterized phrase window over the shared tokenizer —
+            # no SQL-string splicing (entries with quotes are safe)
+            from lucille_spark.query.executor_df import phrase_pred
+
+            return phrase_pred(terms, toks)
+
         hits = []
         for entry, payload in self.dictionary.items():
-            terms = tokenize_py(entry)
-            if len(terms) == 1:
-                pred = F.array_contains(toks, terms[0])
-            else:
-                # parameterized phrase window over the shared tokenizer —
-                # no SQL-string splicing (dictionary entries with quotes or
-                # regex metacharacters are safe)
-                from lucille_spark.query.executor_df import phrase_pred
-
-                pred = phrase_pred(terms, toks)
+            pred = match_pred(entry)
+            if self.ignore_overlaps and self.only_whole_words:
+                # suppressed when a strictly-longer matching entry
+                # contains this one's token sequence
+                for other in self.dictionary:
+                    if other != entry and self._contains_seq(
+                            entry_terms[entry], entry_terms[other]):
+                        pred = pred & ~F.coalesce(match_pred(other),
+                                                  F.lit(False))
+            out_val = payload if self.use_payloads else entry
             hits.append(F.when(F.coalesce(pred, F.lit(False)),
-                               F.lit(payload)))
+                               F.lit(out_val)))
         matched = F.array_distinct(
             F.filter(F.array(*hits), lambda x: x.isNotNull()))
+        if self.stop_on_hit:
+            matched = F.slice(matched, 1, 1)
         return self._set(df, self.dest, matched)
 
 
@@ -1586,3 +1651,81 @@ class ApplyJSONata(Stage):
                 c, F.when(F.col("_jsonata").isNull(), cur)
                 .otherwise(new_val.cast(dtype)))
         return result.drop("_jsonata")
+
+
+@register_stage
+@dataclass
+class SetNestedField(Stage):
+    """core/Document.java:744-783 setNestedJson — write a value at a
+    dotted/indexed path (``a.b[2].c`` or ``a.b.2.c``) inside a JSON-string
+    column, creating missing containers. ``value_field`` takes the value
+    from another column (JSON-decoded when it parses, else as string);
+    ``value`` is a literal. Arrow-batched pandas UDF — generic nested
+    mutation has no static schema for Catalyst to compile."""
+    source: str = "meta"
+    path: str = ""
+    value: object = None
+    value_field: Optional[str] = None
+
+    def apply(self, df):
+        import json as _json
+
+        path, lit_value = self.path, self.value
+        from lucille_spark.pipeline.jsonpath import parse_segments
+
+        parse_segments(path)  # validate eagerly
+
+        if self.value_field is not None:
+            @F.pandas_udf(StringType())
+            def set_v(js: pandas.Series, vs: pandas.Series) -> pandas.Series:
+                from lucille_spark.pipeline.jsonpath import set_in_json
+
+                def one(j, v):
+                    if v is not None:
+                        try:
+                            v = _json.loads(v)
+                        except (ValueError, TypeError):
+                            pass
+                    return set_in_json(j or "null", path, v)
+
+                return pandas.Series(
+                    [one(j, v) for j, v in zip(js, vs)])
+
+            out = set_v(F.col(self.source),
+                        F.col(self.value_field).cast("string"))
+        else:
+            @F.pandas_udf(StringType())
+            def set_l(js: pandas.Series) -> pandas.Series:
+                from lucille_spark.pipeline.jsonpath import set_in_json
+
+                return pandas.Series(
+                    [set_in_json(j or "null", path, lit_value) for j in js])
+
+            out = set_l(F.col(self.source))
+        return self._set(df, self.source, out)
+
+
+@register_stage
+@dataclass
+class RemoveNestedField(Stage):
+    """core/Document.java:785-800 removeNestedJson — remove the value at a
+    dotted/indexed path inside a JSON-string column (missing path = no-op;
+    array elements shift left like JsonNode.remove(int))."""
+    source: str = "meta"
+    path: str = ""
+
+    def apply(self, df):
+        path = self.path
+        from lucille_spark.pipeline.jsonpath import parse_segments
+
+        parse_segments(path)
+
+        @F.pandas_udf(StringType())
+        def rm(js: pandas.Series) -> pandas.Series:
+            from lucille_spark.pipeline.jsonpath import remove_in_json
+
+            return pandas.Series(
+                [remove_in_json(j, path) if j is not None else None
+                 for j in js])
+
+        return self._set(df, self.source, rm(F.col(self.source)))

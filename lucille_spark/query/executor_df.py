@@ -71,13 +71,17 @@ def bm25_query_df(
     exclude: Sequence[str] = (),
     phrases: Sequence[Sequence[str]] = (),
     score_decimals: int = 4,
+    boosts: Optional[dict] = None,
 ) -> DataFrame:
     """BM25 top-k as a DataFrame: (doc_id, rank, score).
 
     mode="or"  — match any scoring term;  mode="and" — require all.
     ``exclude`` terms must be absent; ``phrases`` must appear consecutively
     (their constituent terms must already be included in ``terms`` to score,
-    mirroring the oracle's positive-term semantics).
+    mirroring the oracle's positive-term semantics). ``boosts`` maps a term
+    to its Lucene clause boost (``term^2``): the term's contribution is
+    multiplied as (idf * boost) * tfnorm, matching the searcher's
+    fold-into-idf association exactly.
     """
     docs = prepare_docs(df, id_col, text_col)
     uniq = list(dict.fromkeys(terms))
@@ -102,7 +106,9 @@ def bm25_query_df(
             + F.lit(BM25_K1)
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
         )
-        score = score + F.when(F.col(f"tf_{i}") > 0, idf * tfn).otherwise(0.0)
+        b = float((boosts or {}).get(uniq[i], 1.0))
+        contrib = (idf * F.lit(b)) * tfn if b != 1.0 else idf * tfn
+        score = score + F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(0.0)
     scored = scored.withColumn("score", score)
 
     if mode == "and":

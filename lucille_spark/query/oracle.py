@@ -141,7 +141,7 @@ class OracleIndex:
         dl = self.doc_len[t.field].get(doc_index, 0)
         avgdl = self.avgdl.get(t.field, 1.0) or 1.0
         tf_norm = tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-        return self.idf(t.field, t.text) * tf_norm
+        return self.idf(t.field, t.text) * t.boost * tf_norm
 
     def search(self, query: str, k: int = 10,
                default_field: str = "content") -> List[Tuple]:

@@ -33,12 +33,14 @@ DEFAULT_FIELD = "content"
 class Term:
     field: str
     text: str
+    boost: float = 1.0      # Lucene classic `term^2` clause boost
 
 
 @dataclass(frozen=True)
 class Phrase:
     field: str
     terms: tuple  # tuple[str, ...]
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -65,8 +67,8 @@ _TOKEN_RE = re.compile(
         (?P<not>NOT\b) |
         (?P<minus>-) |
         (?P<plus>\+) |
-        (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)") |
-        (?P<term>(?:(?P<tfield>[A-Za-z_][\w.]*):)?(?P<ttext>[^\s()":]+))
+        (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?) |
+        (?P<term>(?:(?P<tfield>[A-Za-z_][\w.]*):)?(?P<ttext>[^\s()":^]+)(?:\^(?P<tboost>\d+(?:\.\d+)?))?)
     )""",
     re.VERBOSE,
 )
@@ -155,22 +157,24 @@ class _Parser:
             return node
         if t.group("phrase"):
             fieldname = t.group("pfield") or self.default_field
+            boost = float(t.group("pboost") or 1.0)
             terms = tuple(tokenize_py(t.group("ptext")))
             if not terms:
                 raise QueryParseError("empty phrase")
             if len(terms) == 1:
-                return Term(fieldname, terms[0])
-            return Phrase(fieldname, terms)
+                return Term(fieldname, terms[0], boost)
+            return Phrase(fieldname, terms, boost)
         if t.group("term"):
             fieldname = t.group("tfield") or self.default_field
+            boost = float(t.group("tboost") or 1.0)
             toks = tokenize_py(t.group("ttext"))
             if not toks:
                 raise QueryParseError(f"term analyzes to nothing: {t.group('ttext')!r}")
             if len(toks) == 1:
-                return Term(fieldname, toks[0])
+                return Term(fieldname, toks[0], boost)
             # a raw token that analyzes to multiple terms (e.g. "foo-bar")
             # becomes a phrase, matching Lucene classic parser behavior
-            return Phrase(fieldname, tuple(toks))
+            return Phrase(fieldname, tuple(toks), boost)
         raise QueryParseError(f"unexpected token {t.group()!r}")
 
 
@@ -196,7 +200,7 @@ def positive_terms(node) -> List[Term]:
                 out.append(n)
         elif isinstance(n, Phrase):
             if not negated:
-                out.extend(Term(n.field, t) for t in n.terms)
+                out.extend(Term(n.field, t, n.boost) for t in n.terms)
         elif isinstance(n, Not):
             walk(n.child, not negated)
         elif isinstance(n, (And, Or)):

@@ -108,14 +108,17 @@ class IndexSearcher:
         node = parse(query, self.default_field)
         shape = _classify(node)
         if shape == "or":
-            hits = self._wand_or([TermCursor(self.reader, t.field, t.text)
-                                  for t in node_terms(node)], k)
+            hits = self._wand_or(
+                [TermCursor(self.reader, t.field, t.text, boost=t.boost)
+                 for t in node_terms(node)], k)
         elif shape == "and":
-            hits = self._leapfrog_and([TermCursor(self.reader, t.field, t.text)
-                                       for t in node_terms(node)], k)
+            hits = self._leapfrog_and(
+                [TermCursor(self.reader, t.field, t.text, boost=t.boost)
+                 for t in node_terms(node)], k)
         elif shape == "term":
             hits = self._wand_or([TermCursor(self.reader, node.field,
-                                             node.text)], k)
+                                             node.text, boost=node.boost)],
+                                 k)
         else:
             hits = self._score_candidates(node, k)
         return self._resolve(hits)
@@ -325,7 +328,7 @@ class IndexSearcher:
             if docs.size == 0:
                 continue
             docs = docs.astype(np.int64)
-            idf = self.reader.idf(t.field, t.text)
+            idf = self.reader.idf(t.field, t.text) * t.boost
             avgdl = self.reader.avgdl(t.field)
             pos = np.searchsorted(cand, docs)
             pos_ok = pos < cand.size

@@ -330,3 +330,134 @@ def test_phrase_pred_quote_and_metachar_safe(spark):
                     fields=("content",))
     got = {r["id"]: r["matched_queries"] for r in mq.apply(df).collect()}
     assert got["d1"] == ["q1"] and got["d2"] == []
+
+
+# ------------------------------------------- ExtractEntities option matrix
+
+def test_extract_entities_options(spark):
+    from lucille_spark.pipeline.stages import ExtractEntities
+
+    df = spark.createDataFrame(
+        [("d1", "The New York Giants played in New York today"),
+         ("d2", "giants live in NEW york"),
+         ("d3", "unrelated text")],
+        "id string, content string")
+    base = dict(source="content",
+                dictionary={"new york": "NY",
+                            "new york giants": "TEAM",
+                            "giants": "G"})
+
+    # overlaps allowed (default): all matching entries reported
+    rows = {r["id"]: set(r["entities"]) for r in
+            ExtractEntities(**base).apply(df).collect()}
+    assert rows["d1"] == {"NY", "TEAM", "G"}
+    assert rows["d2"] == {"NY", "G"}
+    assert rows["d3"] == set()
+
+    # ignore_overlaps: 'new york' and 'giants' suppressed where the longer
+    # 'new york giants' matched... but d1 ALSO has a standalone 'New York'
+    # — doc-level approximation keeps the longest only
+    rows = {r["id"]: set(r["entities"]) for r in
+            ExtractEntities(**base, ignore_overlaps=True).apply(df).collect()}
+    assert rows["d1"] == {"TEAM"}
+    assert rows["d2"] == {"NY", "G"}
+
+    # stop_on_hit: first dictionary entry only
+    rows = {r["id"]: r["entities"] for r in
+            ExtractEntities(**base, stop_on_hit=True).apply(df).collect()}
+    assert rows["d1"] == ["NY"]
+
+    # use_payloads=False emits the entry text
+    rows = {r["id"]: set(r["entities"]) for r in
+            ExtractEntities(**base, use_payloads=False).apply(df).collect()}
+    assert rows["d2"] == {"new york", "giants"}
+
+    # case-sensitive: 'NEW york' no longer matches 'New York'-cased entry
+    cs = ExtractEntities(source="content",
+                         dictionary={"New York": "NY"},
+                         ignore_case=False)
+    rows = {r["id"]: set(r["entities"]) for r in cs.apply(df).collect()}
+    assert rows["d1"] == {"NY"}
+    assert rows["d2"] == set()
+
+    # substring mode (only_whole_words=False)
+    sub = ExtractEntities(source="content", dictionary={"relat": "R"},
+                          only_whole_words=False)
+    rows = {r["id"]: set(r["entities"]) for r in sub.apply(df).collect()}
+    assert rows["d3"] == {"R"}
+    assert rows["d1"] == set()
+
+
+# --------------------------------------------------- nested JSON path ops
+
+def test_jsonpath_unit():
+    from lucille_spark.pipeline.jsonpath import (get_path, parse_segments,
+                                                 remove_in_json, set_in_json)
+
+    assert parse_segments("a.b[2].c") == ["a", "b", 2, "c"]
+    assert parse_segments("a.b.2.c") == ["a", "b", 2, "c"]
+    with pytest.raises(ValueError):
+        parse_segments("a..b")
+
+    out = set_in_json("null", "a.b[1].c", 5)
+    assert json.loads(out) == {"a": {"b": [None, {"c": 5}]}}
+    out2 = set_in_json(out, "a.b[0]", "x")
+    assert json.loads(out2)["a"]["b"][0] == "x"
+    out3 = remove_in_json(out2, "a.b[0]")
+    assert json.loads(out3) == {"a": {"b": [{"c": 5}]}}   # shifted
+    assert json.loads(remove_in_json(out3, "a.nope.deep")) \
+        == json.loads(out3)  # no-op
+    assert get_path(json.loads(out3), parse_segments("a.b.0.c")) == 5
+
+
+def test_set_remove_nested_field_stages(spark):
+    from lucille_spark.pipeline.stages import RemoveNestedField, SetNestedField
+
+    df = spark.createDataFrame(
+        [("d1", '{"user": {"name": "ann"}}', "42"),
+         ("d2", None, "7")],
+        "id string, meta string, score string")
+    out = SetNestedField(source="meta", path="user.scores[0]",
+                         value_field="score").apply(df)
+    out = SetNestedField(source="meta", path="tag", value="v1").apply(out)
+    rows = {r["id"]: json.loads(r["meta"]) for r in out.collect()}
+    assert rows["d1"] == {"user": {"name": "ann", "scores": [42]},
+                          "tag": "v1"}
+    assert rows["d2"] == {"user": {"scores": [7]}, "tag": "v1"}
+
+    out2 = RemoveNestedField(source="meta", path="user.name").apply(out)
+    rows2 = {r["id"]: json.loads(r["meta"]) for r in out2.collect()}
+    assert rows2["d1"]["user"] == {"scores": [42]}
+
+
+# ------------------------------------------------- valuesPath conditions
+
+def test_condition_values_path(spark, tmp_path):
+    from lucille_spark.pipeline.conditions import Condition
+    from lucille_spark.pipeline.stages import SetStaticValues
+
+    vals = tmp_path / "allowed.txt"
+    vals.write_text("en\nfr\n")
+    df = spark.createDataFrame(
+        [("a", "en"), ("b", "de")], "id string, lang string")
+    st = SetStaticValues(values={"tagged": "yes"},
+                         conditions=[Condition(fields=["lang"],
+                                               values_path=str(vals))])
+    rows = {r["id"]: r["tagged"] for r in st.apply(df).collect()}
+    assert rows == {"a": "yes", "b": None}
+
+
+# ----------------------------------------------------- langid 10 languages
+
+def test_langid_ten_languages(spark):
+    from lucille_spark.ml.textstats import LANG_PROFILES, language_scores
+
+    assert len(LANG_PROFILES) == 10
+    df = spark.createDataFrame(
+        [("nl", "de het een en van niet fiets"),
+         ("it", "il di che e non per strada"),
+         ("id", "yang dan di itu dengan untuk jalan")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r["predicted"]
+           for r in language_scores(df, "doc_id", "text").collect()}
+    assert out == {"nl": "nl", "it": "it", "id": "id"}
