@@ -939,6 +939,82 @@ def stage_chunk_text(spark, sf_dir):
         "chunk_text")
 
 
+@register("stage_chunk_overlap", sql=f"""
+WITH {_TOKS_CTE},
+c AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+  FROM toks
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN CAST(ceil(len(ws) / 20.0) AS INT) <= 1
+              THEN [array_to_string(ws, ' ')]
+              ELSE list_transform(
+                     range(0, CAST(ceil(len(ws) / 20.0) AS INT) - 1),
+                     r -> array_to_string(
+                            ws[(CAST(r AS INT) * 20 + 1):(CAST(r AS INT) * 20 + 40)],
+                            ' '))
+         END AS wins
+  FROM c
+)
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '-chunk' || CAST(i + 1 AS VARCHAR) AS chunk_id,
+       CAST(i + 1 AS BIGINT) AS chunk_number,
+       CAST(len(wins) AS BIGINT) AS total_chunks,
+       wins[CAST(i AS INT) + 1] AS chunk_text,
+       CAST(COALESCE(list_sum(list_transform(range(0, CAST(i AS INT)),
+            j -> length(wins[CAST(j AS INT) + 1]))), 0) AS BIGINT) AS offset
+FROM w, unnest(range(0, len(wins))) AS t(i)
+""")
+def stage_chunk_overlap(spark, sf_dir):
+    """ChunkText's COMPLETED pipeline through the actual stage: fixed
+    50-token chunks merged into sliding 2-chunk windows at stride 1
+    (merge_k=2, overlap_k=1 — mergeAndOverlapChunks, ChunkText.java:231-254)
+    with real cumulative offsets, children detached and hash-compared."""
+    from lucille_spark.pipeline.conditions import CHILDREN
+    from lucille_spark.pipeline.stages import ChunkText
+
+    docs = _docs(spark, sf_dir)
+    st = ChunkText(source="text", id_col="doc_id", mode="fixed",
+                   chunk_size=20, merge_k=2, overlap_k=1)
+    out = st.apply(docs)
+    child = out.select("doc_id", F.explode(F.col(CHILDREN)).alias("c"))
+    return child.select(
+        "doc_id",
+        F.col("c.id").alias("chunk_id"),
+        F.col("c.chunk_number").cast("long").alias("chunk_number"),
+        F.col("c.total_chunks").cast("long").alias("total_chunks"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.offset").cast("long").alias("offset"))
+
+
+@register("stage_entities", sql=f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       COALESCE(array_to_string(list_filter([
+         CASE WHEN list_contains(toks, 'window') THEN 'UI' END,
+         CASE WHEN len(toks) >= 2 AND len(list_filter(range(0, len(toks) - 1),
+              i -> toks[CAST(i AS BIGINT) + 1] = 'key'
+               AND toks[CAST(i AS BIGINT) + 2] = 'order')) > 0 THEN 'PHRASE' END,
+         CASE WHEN list_contains(toks, 'vector') THEN 'VEC' END
+       ], x -> x IS NOT NULL), ','), '') AS entities
+FROM toks
+""")
+def stage_entities(spark, sf_dir):
+    """ExtractEntities over the documents table: single-word entries +
+    a multi-word phrase entry, payloads emitted in dictionary order
+    (the Aho-Corasick/FST contract as one codegen'd pass)."""
+    from lucille_spark.pipeline.stages import ExtractEntities
+
+    st = ExtractEntities(source="text",
+                         dictionary={"window": "UI",
+                                     "key order": "PHRASE",
+                                     "vector": "VEC"})
+    out = st.apply(_docs(spark, sf_dir))
+    return out.select("doc_id",
+                      F.array_join("entities", ",").alias("entities"))
+
+
 def _lsh_bands_sql(n_hashes=8, band_size=2, subset_mod=None):
     from lucille_spark.ml.dedup import MINHASH_P, _hash_params
 
