@@ -1283,14 +1283,25 @@ class ApplyFileHandlers(Stage):
 
     Spark-first: instead of per-doc parsing, ALL referenced files are read
     in one distributed pass (the handler source), then joined back to
-    parents on the file name — the N+1 loop becomes one scan + one join."""
+    parents on the file name — the N+1 loop becomes one scan + one join.
+
+    Pass ``root`` (a directory or glob) when the referenced files share a
+    location: the scan then targets the root directly and NO driver-side
+    collect of the path list happens — the scale path. Without it the
+    distinct path list is collected (bounded by file count, the fallback
+    for scattered paths)."""
     path_field: str = "file_path"
     handler: str = "csv"          # csv | jsonl
     handler_options: Dict[str, object] = dc_field(default_factory=dict)
+    root: Optional[str] = None
 
     def apply(self, df):
         spark = df.sparkSession
-        paths = [r[0] for r in df.select(self.path_field).distinct().collect()]
+        if self.root is not None:
+            paths = [self.root]
+        else:
+            paths = [r[0] for r in
+                     df.select(self.path_field).distinct().collect()]
         if not paths:
             return df.withColumn(CHILDREN, F.lit(None))
         if self.handler == "csv":

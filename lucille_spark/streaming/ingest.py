@@ -86,6 +86,37 @@ class StreamingIngest:
 
         return process
 
+    def from_kafka(self, bootstrap_servers: str, topic: str, schema: str,
+                   starting_offsets: str = "earliest",
+                   available_now: bool = True):
+        """Kafka source with the SAME downstream foreachBatch code path as
+        the file source (the reference's Connector->Kafka->Worker topology,
+        message-ordering.md:23-31: per-doc order via doc-id keying —
+        enforced here by last-write-wins in the idempotent sink/merge).
+
+        Sandbox waiver: this container bundles neither the
+        spark-sql-kafka connector jar nor a broker, so this path cannot be
+        integration-tested here; on a cluster submit with
+        ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``.
+        The file-source variant exercises every line downstream of the
+        source swap (tests/test_sources_sinks.py)."""
+        stream = (self.spark.readStream.format("kafka")
+                  .option("kafka.bootstrap.servers", bootstrap_servers)
+                  .option("subscribe", topic)
+                  .option("startingOffsets", starting_offsets)
+                  .load()
+                  .select(F.from_json(F.col("value").cast("string"),
+                                      schema).alias("doc"))
+                  .select("doc.*"))
+        writer = (stream.writeStream
+                  .foreachBatch(self._foreach_batch())
+                  .option("checkpointLocation", self.checkpoint_dir))
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.start()
+
     def from_json_files(self, input_dir: str, schema: str,
                         available_now: bool = True):
         """File-source stream: each new file in input_dir is a microbatch
