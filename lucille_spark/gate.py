@@ -1272,6 +1272,78 @@ def source_sequence(spark, sf_dir):
     return sequence_docs(spark, 25, doc_id_prefix="seq-")
 
 
+def _multimodal_oracle_sql(n_docs: int = 64) -> str:
+    """INDEPENDENT pure-stdlib reimplementation of the fake-media codec +
+    featurizer (no numpy, no shared helpers with ml/multimodal.py), its
+    expected rows inlined as a VALUES table. All float outputs are scaled
+    to integers (floor(x*10^k + 0.5)) so the comparison is exact."""
+    import math
+    import struct as _struct
+
+    import numpy as _np  # ONLY to reproduce the seeded payload generator
+
+    rows = []
+    for doc_id in range(n_docs):
+        w = h = 32
+        nf = 4  # video
+        payload = _np.random.default_rng(doc_id).integers(
+            0, 256, w * h * nf, dtype=_np.uint8).tobytes()
+        data = list(payload)
+        n = len(data)
+        mean_scaled = math.floor(sum(data) / n * 1e6 + 0.5)
+        hist = [0] * 8
+        for b in data:
+            hist[b >> 5] += 1
+        dim = 16
+        pad = (-n) % dim
+        padded = data + [0] * pad
+        chunk = len(padded) // dim
+        feat_scaled = []
+        for i in range(dim):
+            m = sum(padded[i * chunk:(i + 1) * chunk]) / chunk / 255.0
+            f32 = _struct.unpack("f", _struct.pack("f", m))[0]
+            feat_scaled.append(math.floor(f32 * 1e7 + 0.5))
+        rows.append(
+            f"({doc_id}, 'video', {nf}, {mean_scaled}, "
+            f"'{'_'.join(str(x) for x in hist)}', "
+            f"'{'_'.join(str(x) for x in feat_scaled)}')")
+    values = ",\n".join(rows)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, media_type,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(mean_scaled AS BIGINT) AS mean_scaled, histogram, feature
+FROM (VALUES
+{values}
+) AS t(doc_id, media_type, n_frames, mean_scaled, histogram, feature)
+"""
+
+
+@register("multimodal_features", sql=_multimodal_oracle_sql())
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: deterministic fake video corpus ->
+    Arrow-batched mapInPandas decode+featurize (the codec-agnostic stage;
+    real codecs plug into _decode). Features integer-scaled and compared
+    against an independent stdlib reimplementation."""
+    from lucille_spark.ml.multimodal import (decode_and_featurize,
+                                             synthetic_media_df)
+
+    media = synthetic_media_df(spark, 64, "video", partitions=8)
+    feats = decode_and_featurize(media, codec="fake", feature_dim=16)
+    scale = lambda c, k: F.floor(F.col(c).cast("double") * k + F.lit(0.5))         .cast("long")  # noqa: E731
+    return feats.select(
+        "doc_id", "media_type",
+        F.col("n_frames").cast("int").alias("n_frames"),
+        scale("mean_intensity", 1e6).alias("mean_scaled"),
+        F.array_join(F.transform("histogram",
+                                 lambda x: x.cast("string")), "_")
+        .alias("histogram"),
+        F.array_join(
+            F.transform("feature",
+                        lambda x: F.floor(x.cast("double") * 1e7
+                                          + F.lit(0.5)).cast("long")
+                        .cast("string")), "_").alias("feature"))
+
+
 @register("ann_near_dup_pairs", sql="""
 WITH d AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
