@@ -39,11 +39,15 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 import time
+import uuid
 from typing import Iterable, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +65,21 @@ POSTINGS_SCHEMA = (
 )
 
 
+def write_small_parquet(path: str, table: "pa.Table",
+                        mode: str = "overwrite") -> None:
+    """Driver-side write for TINY metadata tables (_meta, _lineage,
+    corpus_stats — a handful of rows each). Launching a Spark job for a
+    1-row table costs ~0.3-0.5 s of scheduling per write and several such
+    writes ride on every build/merge; at any scale these tables are
+    driver-sized by construction, so pyarrow writes them directly.
+    Spark (and pyarrow.dataset) reads the dirs exactly as before."""
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
 def write_index_meta(spark: SparkSession, out_dir: str, ord_span: int,
                      run_id: str) -> None:
     """Overwrite the 1-row ``_meta`` table: the ordinal span (NOT-complement
@@ -68,10 +87,11 @@ def write_index_meta(spark: SparkSession, out_dir: str, ord_span: int,
     stamp that invalidates per-worker searcher caches after any build/merge
     (executor_df.search_batch keys its cache on it)."""
     now = time.time()
-    spark.createDataFrame(
-        [(int(ord_span), f"{run_id}@{now:.6f}", float(now))],
-        "ord_span long, version string, updated_at double",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "_meta"))
+    write_small_parquet(os.path.join(out_dir, "_meta"), pa.table({
+        "ord_span": pa.array([int(ord_span)], pa.int64()),
+        "version": pa.array([f"{run_id}@{now:.6f}"], pa.string()),
+        "updated_at": pa.array([float(now)], pa.float64()),
+    }))
 
 
 def add_doc_identity(corpus: DataFrame) -> DataFrame:
@@ -300,10 +320,7 @@ def build_index(
             # exact integer sum / count: avgdl bit-identical at any parallelism
             cs_rows.append((f_name, n_docs, total / n_docs if n_docs else 0.0,
                             total))
-        corpus_stats = spark.createDataFrame(
-            cs_rows, "field string, n_docs long, avgdl double, total_terms long")
-        corpus_stats.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "corpus_stats"))
+        write_corpus_stats(os.path.join(out_dir, "corpus_stats"), cs_rows)
         avgdl_by_field = {r[0]: r[2] for r in cs_rows}
         ledger.record("corpus_stats", n_docs, t_stage)
     _mark("corpus stats")
@@ -358,6 +375,16 @@ LINEAGE_SCHEMA = ("run_id string, stage string, n_rows long, status string, "
                   "started_at double, finished_at double, seconds double")
 
 
+def write_corpus_stats(path: str, cs_rows) -> None:
+    """cs_rows: [(field, n_docs, avgdl, total_terms), ...]."""
+    write_small_parquet(path, pa.table({
+        "field": pa.array([r[0] for r in cs_rows], pa.string()),
+        "n_docs": pa.array([int(r[1]) for r in cs_rows], pa.int64()),
+        "avgdl": pa.array([float(r[2]) for r in cs_rows], pa.float64()),
+        "total_terms": pa.array([int(r[3]) for r in cs_rows], pa.int64()),
+    }))
+
+
 def _lineage_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_lineage")
 
@@ -380,10 +407,15 @@ class _Ledger:
 
     def record(self, stage: str, n_rows: int, started: float) -> None:
         now = time.time()
-        self.spark.createDataFrame(
-            [(self.run_id, stage, n_rows, "complete", float(started),
-              float(now), now - started)],
-            LINEAGE_SCHEMA).write.mode("append").parquet(self.path)
+        write_small_parquet(self.path, pa.table({
+            "run_id": pa.array([self.run_id], pa.string()),
+            "stage": pa.array([stage], pa.string()),
+            "n_rows": pa.array([int(n_rows)], pa.int64()),
+            "status": pa.array(["complete"], pa.string()),
+            "started_at": pa.array([float(started)], pa.float64()),
+            "finished_at": pa.array([float(now)], pa.float64()),
+            "seconds": pa.array([now - started], pa.float64()),
+        }), mode="append")
         self.done_stages.add(stage)
 
 

@@ -33,9 +33,25 @@ from lucille_spark import BLOCK_SIZE
 from lucille_spark.analysis import tokenize_col
 from lucille_spark.index.builder import (
     POSTINGS_SCHEMA, _Ledger, add_doc_identity, postings_blocks,
-    write_index_meta,
+    write_corpus_stats, write_index_meta,
 )
 from lucille_spark.index.ordinals import assign_doc_ord
+
+
+def _recover_lexicon(index_dir: str) -> None:
+    """Recover from a crash mid lexicon swap: if ``lexicon`` is missing but
+    ``lexicon_old`` (the pre-swap copy renamed aside) exists, restore it;
+    a leftover ``lexicon_old`` NEXT TO a live ``lexicon`` is debris from a
+    crash after the second rename and is dropped."""
+    lex_dir = os.path.join(index_dir, "lexicon")
+    lex_old = lex_dir + "_old"
+    if not os.path.exists(lex_old):
+        return
+    if os.path.exists(lex_dir):
+        shutil.rmtree(lex_old, ignore_errors=True)
+    else:
+        os.rename(lex_old, lex_dir)
+    shutil.rmtree(lex_dir + "_tmp", ignore_errors=True)
 
 
 def merge_index(
@@ -58,6 +74,7 @@ def merge_index(
     deterministic content_sha256 tiebreak.
     """
     spark = new_corpus.sparkSession
+    _recover_lexicon(index_dir)
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
@@ -103,10 +120,19 @@ def merge_index(
     if os.path.exists(tomb_dir):
         dead = spark.read.parquet(tomb_dir).select("doc_ord").distinct()
         live_stats = doc_stats.join(dead, "doc_ord", "left_anti")
+    # localCheckpoint (NOT persist): the doc_stats append below invalidates
+    # any cached plan that reads the doc_stats path, and a recompute after
+    # the append would see the delta's fresh rows and tombstone them —
+    # checkpointing severs the lineage so the pre-append snapshot is final
     tombs = (live_stats.join(F.broadcast(gone_ids.distinct()), "doc_id")
-             .select("doc_ord", *[f"dl_{f}" for f in fields]))
-    tombs_rows = tombs.collect()
-    n_tomb = len(tombs_rows)
+             .select("doc_ord", *[f"dl_{f}" for f in fields])
+             ).localCheckpoint(eager=True)
+    # agg-side accounting (count + per-field dead dl sums) — the tombstone
+    # SET never comes to the driver, so batch size doesn't bound this path
+    tomb_agg = tombs.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"dl_{f}").alias(f"dead_{f}") for f in fields]).collect()[0]
+    n_tomb = int(tomb_agg["n"])
 
     # delta stats (one agg)
     agg = delta.agg(
@@ -117,7 +143,7 @@ def merge_index(
     # live corpus stats: subtract tombstoned dls, add delta dls
     cs_rows, avgdl_by_field = [], {}
     for f_name in fields:
-        dead_total = sum(r[f"dl_{f_name}"] for r in tombs_rows)
+        dead_total = int(tomb_agg[f"dead_{f_name}"] or 0)
         live_n = int(old_stats[f_name]["n_docs"]) - n_tomb + n_delta
         live_total = (int(old_stats[f_name]["total_terms"]) - dead_total
                       + int(agg[f"total_{f_name}"] or 0))
@@ -146,12 +172,9 @@ def merge_index(
 
     # tombstones + corpus_stats + lexicon rebuild (tiny agg over postings)
     if n_tomb:
-        spark.createDataFrame([(int(r["doc_ord"]),) for r in tombs_rows],
-                              "doc_ord long").write.mode("append").parquet(
+        tombs.select("doc_ord").write.mode("append").parquet(
             os.path.join(index_dir, "_tombstones"))
-    spark.createDataFrame(
-        cs_rows, "field string, n_docs long, avgdl double, total_terms long"
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "corpus_stats"))
+    write_corpus_stats(os.path.join(index_dir, "corpus_stats"), cs_rows)
 
     # incremental lexicon: aggregate the DELTA blocks only and fold into the
     # existing lexicon (df/cf/n_blocks are additive across blocks,
@@ -173,12 +196,19 @@ def merge_index(
                        F.sum("n_blocks").cast("int").alias("n_blocks"),
                        F.max("max_tfnorm").alias("max_tfnorm"),
                        F.min("bound_avgdl").alias("bound_avgdl")))
-    # can't overwrite a path being read → write aside, then swap
-    # (on an object store / Iceberg this is a snapshot commit instead)
+    # can't overwrite a path being read → write aside, then swap.
+    # Crash-safe order (ADVICE r2): rename the live dir ASIDE first, then
+    # tmp into place, then drop the aside copy — at no point is the index
+    # without a recoverable lexicon (_recover_lexicon restores from
+    # lexicon_old if a crash lands between the renames). On an object
+    # store / Iceberg this is a snapshot commit instead.
     lex_tmp = lex_dir + "_tmp"
+    lex_old = lex_dir + "_old"
     merged_lex.write.mode("overwrite").parquet(lex_tmp)
-    shutil.rmtree(lex_dir)
+    shutil.rmtree(lex_old, ignore_errors=True)
+    os.rename(lex_dir, lex_old)
     os.rename(lex_tmp, lex_dir)
+    shutil.rmtree(lex_old, ignore_errors=True)
     blocks.unpersist()
 
     write_index_meta(spark, index_dir, ord_span=max_ord + 1 + n_delta,

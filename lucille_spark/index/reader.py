@@ -38,6 +38,11 @@ def read_meta(index_dir: str) -> Optional[dict]:
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
+        # a crash mid lexicon swap (merge_index) may have left the live
+        # lexicon renamed aside — restore before opening
+        from lucille_spark.index.merge import _recover_lexicon
+
+        _recover_lexicon(index_dir)
         self._postings = ds.dataset(os.path.join(index_dir, "postings"))
         self._lexicon = ds.dataset(os.path.join(index_dir, "lexicon"))
         self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))

@@ -78,22 +78,41 @@ def token_dictionary(df: DataFrame, text_col: str,
     terms = (df.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
              .distinct())
     if hash_ids:
-        # bounded to [0, P) so the downstream (a*tid + b) stays in int64
-        return terms.withColumn(
-            "tid", F.pmod(F.xxhash64("term"), F.lit(MINHASH_P)))
+        # bounded to [0, P) so the downstream (a*tid + b) stays in int64;
+        # same value as the joinless _inline_tid used by the scale path
+        return terms.withColumn("tid", _inline_tid(F.col("term")))
     w = Window.orderBy("term")
     return terms.withColumn("tid", F.row_number().over(w).cast("long"))
 
 
+def _inline_tid(term_col):
+    """The hash_ids token id computed INLINE (identical to
+    token_dictionary(hash_ids=True) values): no dictionary table, no join,
+    no broadcast — the 100-TB recipe. A 10^9-term vocabulary neither sorts
+    globally nor fits a broadcast; with hashed ids the id is a pure
+    function of the term so the dictionary disappears from the plan."""
+    return F.pmod(F.xxhash64(term_col), F.lit(MINHASH_P))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = 8,
-                       tokdict: Optional[DataFrame] = None) -> DataFrame:
-    """(doc_id, h_0..h_{n-1}) — min over distinct tokens of (a*tid+b) mod P."""
-    tokdict = tokdict if tokdict is not None else token_dictionary(df, text_col)
+                       tokdict: Optional[DataFrame] = None,
+                       hash_ids: bool = False) -> DataFrame:
+    """(doc_id, h_0..h_{n-1}) — min over distinct tokens of (a*tid+b) mod P.
+
+    ``hash_ids=True``: token ids come from :func:`_inline_tid` with NO
+    dictionary join at all (the scale path). Default keeps the dense
+    sorted-dictionary ids the DuckDB oracles reproduce; near-dup verdicts
+    are the same either way (tests/test_round3_fixes.py)."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("term"))
-    joined = ex.join(F.broadcast(tokdict), "term")
+    if hash_ids:
+        joined = ex.withColumn("tid", _inline_tid(F.col("term")))
+    else:
+        tokdict = (tokdict if tokdict is not None
+                   else token_dictionary(df, text_col))
+        joined = ex.join(F.broadcast(tokdict), "term")
     aggs = [
         F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P))
         .cast("long").alias(f"h_{j}")
@@ -153,16 +172,23 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16,
-            tokdict: Optional[DataFrame] = None) -> DataFrame:
+            tokdict: Optional[DataFrame] = None,
+            hash_ids: bool = False) -> DataFrame:
     """(doc_id, simhash) — tf-weighted bit-majority fingerprint.
 
     Bit j of a token hash v is floor(v / 2^j) mod 2 (pure arithmetic, so the
-    DuckDB oracle reproduces it); v = (tid * 2654435761) mod 2^bits."""
-    tokdict = tokdict if tokdict is not None else token_dictionary(df, text_col)
+    DuckDB oracle reproduces it); v = (tid * 2654435761) mod 2^bits.
+    ``hash_ids=True`` = inline hashed token ids, no dictionary join."""
     ex = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokenize_col(F.col(text_col))).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf")))
-    joined = ex.join(F.broadcast(tokdict), "term").withColumn(
+    if hash_ids:
+        joined = ex.withColumn("tid", _inline_tid(F.col("term")))
+    else:
+        tokdict = (tokdict if tokdict is not None
+                   else token_dictionary(df, text_col))
+        joined = ex.join(F.broadcast(tokdict), "term")
+    joined = joined.withColumn(
         "v", (F.col("tid") * F.lit(2654435761)) % F.lit(2 ** bits))
     bit_sums = joined.groupBy("doc_id").agg(*[
         F.sum(F.col("tf") * (2 * (F.floor(F.col("v") / F.lit(2 ** j)) % 2) - 1)

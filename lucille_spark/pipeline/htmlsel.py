@@ -1,0 +1,197 @@
+"""CSS-selector extraction over stdlib html.parser — the engine behind the
+ApplyHTML stage (reference: stage/ApplyJSoup.java:1-45, which delegates to
+jsoup; this container has no bs4/lxml/jsoup, so the selector subset the
+reference's fixtures exercise is implemented from scratch).
+
+Supported selector grammar (ApplyJSoupTest fixtures: css.conf `.class`,
+`[name=name]`, `#id`; extract-attributes.conf `a` + attribute type):
+
+    chain  := simple (WS simple)*          # descendant combinator
+    simple := [tag|*] [#id] (.class)* ([attr] | [attr=value])*
+
+Extraction types per ApplyJSoup.java destinationFields:
+    text      — element.text(): subtree text, whitespace-normalized
+    attribute — the named attribute's value per matched element
+    html      — inner HTML (reconstructed from parse events)
+    outerHtml — including the element's own tags
+
+Multiple matches return a list in DOCUMENT ORDER (jsoup Elements order);
+no match returns None (the reference does not create the field).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+_SIMPLE = re.compile(
+    r"^([a-zA-Z][\w-]*|\*)?(#[\w-]+)?((?:\.[\w-]+)*)((?:\[[^\]]+\])*)$")
+_ATTR = re.compile(r"\[([\w-]+)(?:=([^\]]*))?\]")
+
+VOID_TAGS = {"br", "img", "hr", "meta", "link", "input", "area", "base",
+             "col", "embed", "source", "track", "wbr", "param"}
+
+# a start tag implicitly closes these open siblings (HTML5 omitted end
+# tags — <li>a<li>b is two siblings, not nested)
+_IMPLICIT_CLOSE = {
+    "li": {"li"}, "p": {"p"}, "td": {"td", "th"}, "th": {"td", "th"},
+    "tr": {"tr", "td", "th"}, "option": {"option"},
+    "dd": {"dd", "dt"}, "dt": {"dd", "dt"},
+}
+
+
+def parse_selector(sel: str) -> List[tuple]:
+    """Compile a selector chain; raises ValueError on unsupported syntax."""
+    parts = sel.split()
+    if not parts:
+        raise ValueError("empty selector")
+    out = []
+    for p in parts:
+        m = _SIMPLE.match(p)
+        if not m or (not m.group(1) and not m.group(2) and not m.group(3)
+                     and not m.group(4)):
+            raise ValueError(f"unsupported selector {p!r}")
+        tag = m.group(1)
+        if tag == "*":
+            tag = None
+        eid = m.group(2)[1:] if m.group(2) else None
+        classes = [c for c in (m.group(3) or "").split(".") if c]
+        attrs: List[Tuple[str, Optional[str]]] = []
+        for am in _ATTR.finditer(m.group(4) or ""):
+            v = am.group(2)
+            if v is not None:
+                v = v.strip("\"'")
+            attrs.append((am.group(1), v))
+        out.append((tag.lower() if tag else None, eid, classes, attrs))
+    return out
+
+
+def _match_simple(el, s) -> bool:
+    tag, attrs = el
+    t, eid, classes, sattrs = s
+    if t and tag != t:
+        return False
+    a = dict(attrs)
+    if eid and a.get("id") != eid:
+        return False
+    if classes:
+        cls = (a.get("class") or "").split()
+        if any(c not in cls for c in classes):
+            return False
+    for k, v in sattrs:
+        if k not in a:
+            return False
+        if v is not None and (a.get(k) or "") != v:
+            return False
+    return True
+
+
+class _Selector(HTMLParser):
+    def __init__(self, chain, typ: str, attr: Optional[str]):
+        super().__init__(convert_charrefs=True)
+        self.chain, self.typ, self.attr = chain, typ, attr
+        self.stack: list = []      # open (tag, attrs)
+        self.active: list = []     # open matched records
+        self.results: dict = {}    # idx -> value (document order)
+        self._n = 0
+
+    # --- match helpers ---------------------------------------------------
+    def _matches(self) -> bool:
+        if not _match_simple(self.stack[-1], self.chain[-1]):
+            return False
+        i = len(self.chain) - 2
+        for el in reversed(self.stack[:-1]):
+            if i < 0:
+                break
+            if _match_simple(el, self.chain[i]):
+                i -= 1
+        return i < 0
+
+    # --- events ----------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        closes = _IMPLICIT_CLOSE.get(tag)
+        while closes and self.stack and self.stack[-1][0] in closes:
+            self._close_to(len(self.stack) - 1)
+        raw = self.get_starttag_text() or ""
+        for rec in self.active:
+            rec["html"].append(raw)
+        self.stack.append((tag, attrs))
+        if self._matches():
+            idx = self._n
+            self._n += 1
+            if self.typ == "attribute":
+                a = dict(attrs)
+                if self.attr in a:
+                    self.results[idx] = a.get(self.attr) or ""
+            else:
+                self.active.append({"depth": len(self.stack), "idx": idx,
+                                    "tag": tag, "outer": raw,
+                                    "html": [], "text": []})
+        if tag in VOID_TAGS:
+            self._close_to(len(self.stack) - 1)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_TAGS:
+            self._close_to(len(self.stack) - 1)
+
+    def handle_endtag(self, tag):
+        # lenient: find the nearest open element with this tag; unmatched
+        # end tags are ignored (malformed HTML tolerance, like jsoup)
+        for lvl in range(len(self.stack), 0, -1):
+            if self.stack[lvl - 1][0] == tag:
+                self._close_to(lvl - 1)
+                return
+
+    def _close_to(self, new_len: int):
+        while len(self.stack) > new_len:
+            depth = len(self.stack)
+            tag = self.stack[-1][0]
+            end_raw = f"</{tag}>"
+            still = []
+            for rec in self.active:
+                if rec["depth"] == depth:
+                    self._finish(rec)
+                else:
+                    still.append(rec)
+            self.active = still
+            self.stack.pop()
+            if len(self.stack) >= new_len and self.stack:
+                for rec in self.active:
+                    rec["html"].append(end_raw)
+
+    def handle_data(self, d):
+        for rec in self.active:
+            rec["html"].append(d)
+            rec["text"].append(d)
+
+    def _finish(self, rec):
+        if self.typ == "text":
+            self.results[rec["idx"]] = " ".join(
+                "".join(rec["text"]).split())
+        elif self.typ == "html":
+            self.results[rec["idx"]] = "".join(rec["html"]).strip()
+        elif self.typ == "outerHtml":
+            self.results[rec["idx"]] = (
+                rec["outer"] + "".join(rec["html"]) + f"</{rec['tag']}>")
+
+    def close(self):
+        super().close()
+        self._close_to(0)   # finalize anything left open (malformed HTML)
+
+
+def select_html(html: Optional[str], selector: str, typ: str = "text",
+                attribute: Optional[str] = None) -> Optional[List[str]]:
+    """All matches for ``selector`` in document order, extracted per
+    ``typ``; None when the input is None or nothing matches."""
+    if html is None:
+        return None
+    if typ == "attribute" and not attribute:
+        raise ValueError("`attribute` must be provided for attribute "
+                         "extraction (ApplyJSoup.java:115-117)")
+    p = _Selector(parse_selector(selector), typ, attribute)
+    p.feed(html)
+    p.close()
+    out = [p.results[i] for i in sorted(p.results)]
+    return out or None

@@ -111,7 +111,11 @@ class _Parser:
                 self.next()
                 rhs = self.parse_expr(self._PREC[v] + 1)
                 node = ("bin", v, node, rhs)
-            elif v == "?":
+            elif v == "?" and min_prec == 0:
+                # conditional has the LOWEST precedence (real JSONata):
+                # only the top-level climb may consume `?`, so
+                # `a > 5 ? "big" : "small"` conditions on the whole
+                # comparison, not on the literal 5 (ADVICE r2).
                 self.next()
                 then = self.parse_expr()
                 self.expect(":")

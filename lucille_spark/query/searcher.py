@@ -152,6 +152,10 @@ class IndexSearcher:
         cursors = [c for c in cursors if c.df > 0]
         heap: List[Tuple[float, int]] = []  # (score, -doc_ord) min-heap
         theta = -math.inf
+        # hoist the tombstone fast path out of the per-pivot call: the
+        # common case (no merges yet) pays zero per-eval work
+        tomb = self.tombstones
+        has_tombs = tomb.size > 0
         active = list(cursors)
         while True:
             active = [c for c in active if c.doc != SENTINEL]
@@ -187,7 +191,7 @@ class IndexSearcher:
             if order[0].doc == pivot:
                 # full eval — accumulate in ORIGINAL term order so the float
                 # sum matches the oracle bit-for-bit
-                if not self._deleted(pivot):
+                if not (has_tombs and self._deleted(pivot)):
                     s = 0.0
                     for c in cursors:
                         if c.doc == pivot:
@@ -212,6 +216,7 @@ class IndexSearcher:
             return []
         heap: List[Tuple[float, int]] = []
         theta = -math.inf
+        has_tombs = self.tombstones.size > 0
         d = max(c.doc for c in cursors)
         while d < SENTINEL:
             aligned = True
@@ -229,7 +234,7 @@ class IndexSearcher:
                     fence = min(c.block_last_at(d) for c in cursors) + 1
                     d = max(fence, d + 1)
                     continue
-            if not self._deleted(d):
+            if not (has_tombs and self._deleted(d)):
                 s = 0.0
                 for c in cursors_eval:
                     s += c.score()

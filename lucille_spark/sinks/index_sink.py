@@ -124,8 +124,10 @@ class IndexSink:
             "spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            legacy_migration = False
             if existing is not None and "_bucket" not in existing.columns:
                 # legacy unbucketed table: one-time full migration
+                legacy_migration = True
                 existing = existing.withColumn("_bucket", self._bucket_col())
                 affected = list(range(self.n_buckets))
             elif existing is not None:
@@ -165,6 +167,17 @@ class IndexSink:
             for b in set(affected) - out_buckets:
                 shutil.rmtree(os.path.join(self.table_dir, f"_bucket={b}"),
                               ignore_errors=True)
+            if legacy_migration:
+                # the dynamic partitionBy overwrite leaves the pre-migration
+                # root-level part files in place (Spark's partition discovery
+                # ignores them, but they waste storage and double-count for
+                # non-Spark readers — ADVICE r2). All their rows now live
+                # under _bucket=N dirs (the merged frame was materialized via
+                # localCheckpoint BEFORE the write), so drop them.
+                for name in os.listdir(self.table_dir):
+                    p = os.path.join(self.table_dir, name)
+                    if os.path.isfile(p) and not name.startswith("_bucket="):
+                        os.remove(p)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                            overwrite_mode)

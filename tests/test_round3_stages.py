@@ -1,0 +1,312 @@
+"""Round-3 stages: QueryDatabase (stage/QueryDatabase.java, goldens from
+QueryDatabaseTest.java + db-test-start.sql), IndexLookup
+(stage/ElasticsearchLookup.java against our own index's doc_stats), and
+DetectLanguage option parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucille_spark.pipeline.stages import IndexLookup, QueryDatabase
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """The reference's db-test-start.sql fixture tables in embedded Derby."""
+    from lucille_spark.sources.jdbc import DatabaseConnector
+
+    url = f"jdbc:derby:{tmp_path_factory.mktemp('qdb')}/db;create=true"
+    DatabaseConnector(spark, url, sql="SELECT 1").execute([
+        "CREATE TABLE animal (id INT, name VARCHAR(10))",
+        "INSERT INTO animal VALUES (1,'Matt'),(2,'Sonny'),(3,'Blaze')",
+        "CREATE TABLE meal (id INT, animal_id INT, name VARCHAR(20))",
+        "INSERT INTO meal VALUES (1,1,'breakfast'),(2,1,'lunch'),"
+        "(3,1,'dinner'),(4,2,'breakfast'),(5,2,'dinner'),"
+        "(6,3,'breakfast'),(7,3,'dinner')",
+        "CREATE TABLE data (id INT, animal_id INT, attr_id INT, "
+        "val VARCHAR(10))",
+        "INSERT INTO data VALUES (1,1,1,'165'),(2,1,2,'brown'),"
+        "(3,2,1,'12'),(4,2,2,'tiger'),(5,3,1,'12'),(6,3,2,'white')",
+    ])
+    return url
+
+
+def test_query_database_single_key(spark, derby_url):
+    """QueryDatabaseTest.testSingleKeyField: name='Blaze' -> output1."""
+    df = spark.createDataFrame([("id1", "Blaze")], "id string, name string")
+    st = QueryDatabase(connection_string=derby_url,
+                       lookup_sql="SELECT name AS db_name FROM animal",
+                       key_fields=["name"], key_columns=["db_name"],
+                       field_mapping={"db_name": "output1"})
+    row = st.apply(df).collect()[0]
+    assert list(row["output1"]) == ["Blaze"]
+
+
+def test_query_database_multi_key(spark, derby_url):
+    """QueryDatabaseTest.testMultivaluedKeyField: (id=2, animal_id=1) ->
+    'lunch'."""
+    df = spark.createDataFrame([("id1", 2, 1)],
+                               "id string, fish int, fish2 int")
+    st = QueryDatabase(
+        connection_string=derby_url,
+        lookup_sql="SELECT id AS mid, animal_id, name FROM meal",
+        key_fields=["fish", "fish2"], key_columns=["mid", "animal_id"],
+        field_mapping={"name": "output1"})
+    row = st.apply(df).collect()[0]
+    assert list(row["output1"]) == ["lunch"]
+
+
+def test_query_database_multiple_results_row_aligned(spark, derby_url):
+    """QueryDatabaseTest.testMultipleResults: animal_id=2 -> output1
+    [12, tiger] and output2 [2, 2], row-aligned across mapped columns."""
+    df = spark.createDataFrame([("id1", 2), ("id2", 99)],
+                               "id string, fish int")
+    st = QueryDatabase(connection_string=derby_url,
+                       lookup_sql="SELECT animal_id, val FROM data",
+                       key_fields=["fish"], key_columns=["animal_id"],
+                       field_mapping={"val": "output1",
+                                      "animal_id": "output2"})
+    rows = {r["id"]: r for r in st.apply(df).collect()}
+    assert sorted(rows["id1"]["output1"]) == ["12", "tiger"]
+    assert list(rows["id1"]["output2"]) == [2, 2]
+    # row alignment: val and animal_id come from the same result rows
+    assert len(rows["id1"]["output1"]) == len(rows["id1"]["output2"])
+    # no match -> fields stay null (reference leaves them unset)
+    assert rows["id2"]["output1"] is None and rows["id2"]["output2"] is None
+
+
+def test_query_database_key_mismatch(spark):
+    st = QueryDatabase(connection_string="jdbc:derby:x",
+                       key_fields=["a", "b"], key_columns=["a"],
+                       field_mapping={"v": "o"})
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    with pytest.raises(Exception):
+        st.apply(df)
+
+
+def test_index_lookup_copies_stored_fields(spark, index_dir):
+    """ElasticsearchLookup.java:99-120 — GET by id from the index, copy
+    stored fields as strings; missing ids leave dests null."""
+    from lucille_spark.index.reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    some = reader.doc_ids_for_ords([0, 1, 2])
+    ids = [some[k] for k in sorted(some)]
+    df = spark.createDataFrame(
+        [(ids[0],), (ids[1],), ("missing-id",)], "id string")
+    st = IndexLookup(index_dir=index_dir, id_col="id",
+                     source=["lang", "dl_content"],
+                     dest=["looked_lang", "looked_dl"])
+    rows = {r["id"]: r for r in st.apply(df).collect()}
+    assert rows[ids[0]]["looked_lang"] is not None
+    assert rows[ids[0]]["looked_dl"].isdigit()   # cast to string
+    assert rows["missing-id"]["looked_lang"] is None
+    assert rows["missing-id"]["looked_dl"] is None
+
+
+# ----------------------------------------------------- ApplyHTML selectors
+CSS_HTML = ('<html><body><h1 class="class">content 1</h1>'
+            '<h2 name="name">content 2</h2><h3 id="id">content 3</h3>'
+            '</body><footer><div>garbage</div></footer></html>')
+ATTR_HTML = ('<html><body><h1 class="random">content 1</h1>'
+             '<a href="google.com">link</a></body>'
+             '<footer><div>garbage</div></footer></html>')
+MULTI_HTML = ('<html><body><h1 class="random">match 1</h1>'
+              '<h1 class="random">match 2</h1></body>'
+              '<footer><div>garbage</div></footer></html>')
+
+
+def test_apply_html_css_selectors(spark):
+    """ApplyJSoupTest.testBasicCssSelectors (css.conf/css.html): bare
+    .class, [name=name] attribute selector, bare #id."""
+    from lucille_spark.pipeline.stages import ApplyHTML
+
+    df = spark.createDataFrame([("d", CSS_HTML)], "id string, html string")
+    out = ApplyHTML(source="html", mapping={
+        "destination1": {"selector": ".class", "type": "text"},
+        "destination2": {"selector": "[name=name]", "type": "text"},
+        "destination3": {"selector": "#id", "type": "text"},
+    }).apply(df).collect()[0]
+    assert list(out["destination1"]) == ["content 1"]
+    assert list(out["destination2"]) == ["content 2"]
+    assert list(out["destination3"]) == ["content 3"]
+
+
+def test_apply_html_attribute_and_bytes(spark):
+    """ApplyJSoupTest.testExtractAttributes: text + attribute extraction,
+    byteArrayField input decoded per charset."""
+    from lucille_spark.pipeline.stages import ApplyHTML
+
+    df = spark.createDataFrame([("d", ATTR_HTML.encode("utf-8"))],
+                               "id string, html binary")
+    out = ApplyHTML(source="html", source_type="binary", mapping={
+        "destinationText": {"selector": "a", "type": "text"},
+        "destinationAttribute": {"selector": "a", "type": "attribute",
+                                 "attribute": "href"},
+        "viaAttrSelector": {"selector": "a[href]", "type": "text"},
+    }).apply(df).collect()[0]
+    assert list(out["destinationText"]) == ["link"]
+    assert list(out["destinationAttribute"]) == ["google.com"]
+    assert list(out["viaAttrSelector"]) == ["link"]
+
+
+def test_apply_html_multiple_matches_and_combinators(spark):
+    """Multiple matches -> list in document order; descendant combinator;
+    html/outerHtml types; no match -> null (field 'not created')."""
+    from lucille_spark.pipeline.stages import ApplyHTML
+
+    df = spark.createDataFrame([("d", MULTI_HTML)], "id string, html string")
+    out = ApplyHTML(source="html", mapping={
+        "matches": {"selector": "body h1.random", "type": "text"},
+        "outer": {"selector": "h1", "type": "outerHtml"},
+        "foot": {"selector": "footer div", "type": "text"},
+        "nothing": {"selector": "table", "type": "text"},
+    }).apply(df).collect()[0]
+    assert list(out["matches"]) == ["match 1", "match 2"]
+    assert list(out["outer"]) == ['<h1 class="random">match 1</h1>',
+                                  '<h1 class="random">match 2</h1>']
+    assert list(out["foot"]) == ["garbage"]
+    assert out["nothing"] is None
+
+
+def test_apply_html_inner_html_and_legacy_string(spark):
+    from lucille_spark.pipeline.stages import ApplyHTML
+
+    html = '<div class="main">Hello <b>World</b></div>'
+    df = spark.createDataFrame([("d", html)], "id string, html string")
+    out = ApplyHTML(source="html", mapping={
+        "inner": {"selector": "div.main", "type": "html"},
+        "legacy": "div.main",           # legacy shorthand: flat string
+    }).apply(df).collect()[0]
+    assert list(out["inner"]) == ["Hello <b>World</b>"]
+    assert out["legacy"] == "Hello World"
+
+
+def test_apply_html_validation(spark):
+    from lucille_spark.pipeline.stages import ApplyHTML
+
+    df = spark.createDataFrame([("d", "<p>x</p>")], "id string, html string")
+    with pytest.raises(ValueError):   # attribute type without attribute
+        ApplyHTML(source="html", mapping={
+            "o": {"selector": "a", "type": "attribute"}}).apply(df)
+    with pytest.raises(ValueError):   # unsupported selector syntax
+        ApplyHTML(source="html", mapping={"o": "a > b"}).apply(df)
+
+
+# ------------------------------------------------------------ RSSConnector
+RSS_FEED = """<?xml version="1.0"?>
+<rss version="2.0" xmlns:content="http://purl.org/rss/1.0/modules/content/">
+<channel><title>Feed</title>
+  <item>
+    <title>First post</title>
+    <link>https://example.com/1</link>
+    <guid isPermaLink="false">guid-1</guid>
+    <author>alice</author>
+    <category>tech</category><category>spark</category>
+    <comments>https://example.com/1#comments</comments>
+    <description>desc one</description>
+    <content:encoded>full content one</content:encoded>
+    <enclosure url="https://example.com/1.mp3" type="audio/mpeg" length="123"/>
+    <pubDate>Mon, 01 Jan 2024 10:00:00 GMT</pubDate>
+  </item>
+  <item>
+    <title>Old post</title>
+    <guid>guid-0</guid>
+    <pubDate>Sat, 01 Jan 2000 10:00:00 GMT</pubDate>
+  </item>
+  <item>
+    <title>No date post</title>
+    <guid>guid-nd</guid>
+  </item>
+</channel></rss>
+"""
+
+RSS_ITEM_2 = """  <item>
+    <title>Second post</title>
+    <guid>guid-2</guid>
+    <pubDate>Mon, 01 Jan 2024 11:00:00 GMT</pubDate>
+  </item>
+"""
+
+
+def test_rss_parse_and_fields(spark, tmp_path):
+    """RSSConnector.java:155-196 — item fields incl. categories,
+    enclosures (type/url/length), guid+isPermaLink, pubDate."""
+    from lucille_spark.sources.rss import RSSConnector
+
+    feed = tmp_path / "feed.xml"
+    feed.write_text(RSS_FEED)
+    rows = {r["id"]: r
+            for r in RSSConnector(spark, str(feed)).read().collect()}
+    assert set(rows) == {"guid-1", "guid-0", "guid-nd"}
+    r = rows["guid-1"]
+    assert r["title"] == "First post" and r["author"] == "alice"
+    assert list(r["categories"]) == ["tech", "spark"]
+    assert r["content"] == "full content one"
+    assert r["description"] == "desc one"
+    assert r["isPermaLink"] is False
+    assert r["enclosures"][0]["url"] == "https://example.com/1.mp3"
+    assert r["enclosures"][0]["length"] == 123
+    assert r["pubDate"].year == 2024
+    # guid-less items get a UUID when use_guid_for_doc_id
+    assert rows["guid-nd"]["pubDate"] is None
+
+
+def test_rss_pubdate_cutoff(spark, tmp_path):
+    """:96-99,199-213 — cutoff filters dated-old items; undated items are
+    always published."""
+    from lucille_spark.sources.rss import RSSConnector
+
+    feed = tmp_path / "feed.xml"
+    feed.write_text(RSS_FEED)
+    fixed_now = 1704103200.0  # 2024-01-01 10:40 UTC (40 min after item 1)
+    c = RSSConnector(spark, str(feed), pub_date_cutoff="1h",
+                     now=lambda: fixed_now)
+    got = {r["id"] for r in c.read().collect()}
+    assert got == {"guid-1", "guid-nd"}   # old post cut, undated kept
+
+
+def test_rss_incremental_refresh(spark, tmp_path):
+    """:99-152 — refresh loop publishes only items not seen in the
+    previous refresh; empty fetch doesn't reset the dedupe set."""
+    from lucille_spark.sources.rss import RSSConnector
+
+    feed = tmp_path / "feed.xml"
+    feed.write_text(RSS_FEED)
+    clock = {"t": 0.0}
+
+    def now():
+        clock["t"] += 0.5   # each check advances fake time
+        return clock["t"]
+
+    c = RSSConnector(spark, str(feed), run_duration="30s",
+                     refresh_increment="0s", now=now)
+    batches = []
+
+    real_read = c.read
+
+    def read_and_mutate():
+        df = real_read()
+        # after the first fetch, append a new item to the feed
+        if len(batches) == 0:
+            feed.write_text(RSS_FEED.replace(
+                "</channel>", RSS_ITEM_2 + "</channel>"))
+        return df
+
+    c.read = read_and_mutate
+    c.run(lambda df: batches.append({r["id"] for r in df.collect()}))
+    assert batches[0] == {"guid-1", "guid-0", "guid-nd"}
+    # later refreshes: only the NEW item once, empties after
+    later = [b for b in batches[1:] if b]
+    assert later and later[0] == {"guid-2"}
+    assert all(b == set() for b in batches[1:] if b != {"guid-2"})
+
+
+def test_rss_validation():
+    from lucille_spark.sources.rss import RSSConnector, parse_duration
+
+    with pytest.raises(ValueError):
+        RSSConnector(None, "x", run_duration="1h")  # missing increment
+    assert parse_duration("2m") == 120.0
+    assert parse_duration("1h") == 3600.0
+    with pytest.raises(ValueError):
+        parse_duration("abc")

@@ -146,9 +146,37 @@ def test_detect_language_heuristic(spark):
         [("d1", "the cat and the dog is in a house"),
          ("d2", "der hund ist nicht da und die katze")],
         "id string, body string")
-    out = DetectLanguage(source="body").apply(df)
+    out = DetectLanguage(source="body", min_length=0).apply(df)
     got = rows(out, "language")
     assert got == [("en",), ("de",)]
+
+
+def test_detect_language_options(spark):
+    df = spark.createDataFrame(
+        [("d1", "the cat and the dog is in a house with the mouse and the"),
+         ("d2", "too short"),
+         ("d3", "der hund ist nicht da und die katze ist auch nicht hier")],
+        "id string, body string")
+    # min_length (ref default 50): d2 skipped -> null fields
+    out = DetectLanguage(source="body").apply(df)
+    assert rows(out, "language") == [("en",), (None,), ("de",)]
+    # min_probability: confidence floored to 2 decimals, thresholded
+    out = DetectLanguage(source="body", min_probability=0.99).apply(df)
+    assert rows(out, "language") == [(None,), (None,), (None,)]
+    confs = rows(DetectLanguage(source="body").apply(df),
+                 "language_confidence")
+    assert confs[0][0] is not None and 0 < confs[0][0] <= 1
+    assert round(confs[0][0] * 100) == int(confs[0][0] * 100)  # floored
+    # max_length truncation: clipping to 10 chars leaves too few stopwords
+    out = DetectLanguage(source="body", min_length=0, max_length=10).apply(df)
+    l0 = rows(out, "language")[0][0]
+    assert l0 in (None, "en")
+    # multi-source concatenation
+    df2 = spark.createDataFrame(
+        [("d1", "the cat and the dog", " is in a house with the mouse")],
+        "id string, a string, b string")
+    out = DetectLanguage(source=["a", "b"], min_length=40).apply(df2)
+    assert rows(out, "language") == [("en",)]
 
 
 def test_conditions_gate_stage(df):

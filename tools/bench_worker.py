@@ -7,6 +7,18 @@ Used by bench.py both for the headline numbers and for the two-cluster-size
 scaling-efficiency evidence (local[8] vs local[32] standing in for N vs 4N
 executors; the job is identical, only parallelism changes, and the produced
 index is byte-identical by construction — see index/ordinals.py).
+
+Env knobs:
+  BENCH_RUNS=k       run k timed builds in this one JVM (default 1) and
+                     report all times + their median — the north rule asks
+                     for medians of >=3 runs because this shared-host VM has
+                     +-20% run-to-run variance (BENCH.md).
+  BENCH_WARMUP=n     run one untimed n-doc warmup build first (default
+                     min(10000, N_DOCS) when BENCH_RUNS>1, else 0). Warms
+                     JIT/codegen so the timed builds measure the engine,
+                     not JVM cold-start.
+  BENCH_SKIP_QUERIES=1   skip the WAND latency section.
+  BENCH_EXECUTORS=k      multi-JVM local-cluster mode (k executors x 4 cores).
 """
 
 from __future__ import annotations
@@ -81,6 +93,10 @@ def main():
         cpus = int(executors) * 4
     else:
         spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    n_runs = int(os.environ.get("BENCH_RUNS", "1"))
+    warmup = int(os.environ.get(
+        "BENCH_WARMUP", str(min(10000, n_docs)) if n_runs > 1 else "0"))
+
     out = tempfile.mkdtemp(prefix=f"lucille_bench_{cpus}_")
     try:
         if sf_dir:
@@ -94,10 +110,30 @@ def main():
             corpus = corpus_df(spark, n_docs, partitions=cpus * 2)
             n_docs_actual = n_docs
 
-        t0 = time.time()
-        stats = build_index(corpus, out, fields=("content",),
-                            store_positions=True)
-        build_sec = time.time() - t0
+        if warmup:
+            from lucille_spark.corpus import corpus_df
+
+            wdir = tempfile.mkdtemp(prefix=f"lucille_warm_{cpus}_")
+            try:
+                build_index(corpus_df(spark, warmup, partitions=cpus * 2),
+                            wdir, fields=("content",), store_positions=True)
+            finally:
+                shutil.rmtree(wdir, ignore_errors=True)
+
+        build_secs = []
+        for r in range(n_runs):
+            # every run builds into a fresh dir from the same deterministic
+            # corpus — identical work, independently timed
+            rdir = out if r == n_runs - 1 else tempfile.mkdtemp(
+                prefix=f"lucille_bench_{cpus}_r{r}_")
+            t0 = time.time()
+            stats = build_index(corpus, rdir, fields=("content",),
+                                store_positions=True)
+            build_secs.append(round(time.time() - t0, 3))
+            if rdir != out:
+                shutil.rmtree(rdir, ignore_errors=True)
+        build_secs_sorted = sorted(build_secs)
+        build_sec = build_secs_sorted[len(build_secs_sorted) // 2]
         n = stats["n_docs"] if n_docs_actual is None else n_docs_actual
 
         qtimes = {}
@@ -116,6 +152,7 @@ def main():
             lex_rows = spark.read.parquet(os.path.join(out, "lexicon")).count()
         print(json.dumps({
             "cpus": cpus, "n_docs": n, "build_sec": round(build_sec, 3),
+            "build_secs": build_secs,
             "docs_per_sec": round(n / build_sec, 1),
             "lexicon_terms": lex_rows,
             "query_sec": qtimes,
