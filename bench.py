@@ -12,9 +12,11 @@ local[$SPARK_GRAFT_CPUS], then time WAND queries, the DataFrame BM25
 executor, dedup and ANN ops.
 
 Scaling evidence: the same index-build job on the deterministic F1 corpus at
-local[N_LOW] vs local[N_HIGH] (8 vs 32 = the sandbox stand-in for N vs 4N
-executors), each in its own JVM via tools/bench_worker.py. Throughput at
-both levels + efficiency are reported here and in BENCH.md.
+local[N_LOW] vs local[N_HIGH] (the sandbox stand-in for N vs 4N executors),
+each level in its own JVM via tools/bench_worker.py running a warmup build
+plus BENCH_SCALE_RUNS timed builds — the recorded throughputs and the
+efficiency are MEDIANS, per the documented +-20% VM variance (BENCH.md).
+WAND latencies are medians of BENCH_QUERY_REPS cold-searcher runs.
 """
 
 from __future__ import annotations
@@ -31,7 +33,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "240000"))
+# 52k docs x 4 timed builds per level (after a 10k-doc JIT warmup build in
+# the same JVM): the north rule's evidence must be MEDIANS of >=3 runs
+# because this shared-host VM swings +-20% run to run (BENCH.md); 4 runs
+# with a true median (mean of middle two) tightens the recorded ratio
+# against per-run noise, and 52k keeps each build long enough (~20s at 8
+# cores) that per-job fixed cost stays a small fraction of the timing.
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "42000"))
+BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "520"))
+SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "4"))
+QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 # N and 4N cores for the scaling pair. 2->8 is the regime where this VM's
 # memory bandwidth actually scales ~4x (tools/membw.py: ~28 GB/s aggregate
@@ -72,11 +83,18 @@ def main():
         n_docs = stats["n_docs"]
         queries["index_build"] = round(build_sec, 3)
 
-        searcher = IndexSearcher(idx_dir)
-        for name, q in WAND_QUERIES.items():
-            t0 = time.time()
-            searcher.search(q, k=10)
-            queries[name] = round(time.time() - t0, 4)
+        # WAND latency = median of QUERY_REPS cold runs: a FRESH searcher
+        # per repetition (no decode-cache carryover), so one VM hiccup
+        # can't spike a recorded number (VERDICT r2 #1 asked for medians)
+        wand_samples = {name: [] for name in WAND_QUERIES}
+        for _ in range(QUERY_REPS):
+            searcher = IndexSearcher(idx_dir)
+            for name, q in WAND_QUERIES.items():
+                t0 = time.time()
+                searcher.search(q, k=10)
+                wand_samples[name].append(time.time() - t0)
+        for name, ts in wand_samples.items():
+            queries[name] = round(sorted(ts)[len(ts) // 2], 4)
 
         # --- distributed DataFrame BM25 (the no-index scan path) ---------
         from lucille_spark.gate import (
@@ -131,27 +149,56 @@ def main():
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
 
-    # --- scaling evidence: same job, two cluster sizes ------------------
+    # --- scaling evidence: same job, two cluster sizes, MEDIAN of >=3 ---
+    # Each level runs in its own JVM (tools/bench_worker.py): one untimed
+    # 10k-doc warmup build, then SCALE_RUNS timed builds of the identical
+    # deterministic corpus; the worker reports every time and the median.
+    # Efficiency = median-throughput ratio / core ratio.
     scaling = None
     if RUN_SCALING:
         lo, hi = SCALE_PAIR
         results = {}
-        env = dict(os.environ, BENCH_SKIP_QUERIES="1")
+        env = dict(os.environ, BENCH_SKIP_QUERIES="1",
+                   BENCH_RUNS=str(SCALE_RUNS))
         for cpus in (lo, hi):
+            # adaptive wall-clock guard: each worker always takes >=3 timed
+            # runs (the medians-of->=3 north-rule minimum); the 4th run is
+            # opportunistic so a slow-VM day can't blow the bench timeout.
+            # The low-parallelism level costs ~3.5x per run, so it gets the
+            # larger share of whatever budget remains.
+            remaining = BUDGET_SEC - (time.time() - t_suite)
+            share = 0.78 if cpus == lo else 1.0
+            env["BENCH_TIME_BUDGET"] = str(max(90.0, remaining * share))
+            def _die_with_parent():
+                # if bench.py is killed (driver timeout), the worker and
+                # its JVM must die too — an orphaned 2-core build poisons
+                # every later measurement on this box
+                import ctypes
+                import signal as _sig
+
+                ctypes.CDLL("libc.so.6", use_errno=True).prctl(
+                    1, _sig.SIGKILL)  # PR_SET_PDEATHSIG
+
             out = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "bench_worker.py"),
                  str(cpus), str(SCALE_DOCS)],
-                capture_output=True, text=True, timeout=1200, env=env)
+                capture_output=True, text=True, timeout=1200, env=env,
+                preexec_fn=_die_with_parent)
             line = out.stdout.strip().splitlines()[-1]
             results[cpus] = json.loads(line)
         thr_low = results[lo]["docs_per_sec"]
         thr_high = results[hi]["docs_per_sec"]
         scaling = {
             "n_docs": SCALE_DOCS,
+            "runs_per_level": SCALE_RUNS,
+            "method": (f"median of {SCALE_RUNS} timed builds per level "
+                       "after a warmup build, same JVM"),
             "cpus_low": lo, "docs_per_sec_low": thr_low,
+            "build_secs_low": results[lo]["build_secs"],
             "cpus_high": hi, "docs_per_sec_high": thr_high,
+            "build_secs_high": results[hi]["build_secs"],
             "speedup": round(thr_high / thr_low, 3),
             "efficiency": round(thr_high / thr_low / (hi / lo), 3),
         }

@@ -318,6 +318,63 @@ def wand_index_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id string, rank long, score double")
 
 
+_WAND_PREFIX_SQL = f"""
+WITH base AS (
+  SELECT {_corpus_sha_sql('documents')} AS sha_id,
+         {TOKS_SQL} AS toks
+  FROM documents
+),
+d AS (SELECT sha_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+terms AS (
+  SELECT DISTINCT t AS term FROM d, unnest(toks) AS u(t)
+  WHERE t LIKE 's%' ORDER BY term LIMIT 128
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM d),
+tf AS (
+  SELECT d.sha_id, tm.term, d.dl,
+         CAST(len(list_filter(d.toks, x -> x = tm.term)) AS BIGINT) AS tf
+  FROM d CROSS JOIN terms tm
+),
+dfs AS (SELECT term,
+               CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+contrib AS (
+  SELECT t.sha_id, t.term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (t.tf / (t.tf + {BM25_K1} * ({1.0 - BM25_B}
+                    + {BM25_B} * t.dl / avgdl))) AS c
+  FROM tf t JOIN dfs USING (term), stats
+  WHERE t.tf > 0
+),
+scored AS (SELECT sha_id AS doc_id, list_sum(list(c ORDER BY term)) AS raw
+           FROM contrib GROUP BY sha_id)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY raw DESC, doc_id) AS BIGINT) AS rank,
+       ROUND(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id LIMIT 10
+"""
+
+
+@register("wand_prefix_top10", sql=_WAND_PREFIX_SQL)
+def wand_prefix_top10(spark, sf_dir):
+    """PrefixQuery through the FULL engine path: `content:s*` expands
+    against the term-sorted lexicon (row-group-pruned range scan) into a
+    scoring boolean OR (MultiTermQuery.SCORING_BOOLEAN_REWRITE) answered
+    by block-max WAND. The oracle derives the SAME expansion relationally
+    (DISTINCT tokens LIKE 's%', ascending, capped) and sums per-doc
+    contributions in term order — matching WAND's cursor-order float
+    summation bit-for-bit."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    hits = IndexSearcher(idx).search("content:s*", k=10)
+    rows = [(doc_id, i + 1, round(score, 4))
+            for i, (doc_id, score) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id string, rank long, score double")
+
+
 _WAND_BOOST_SQL = _WAND_SQL.replace(
     """0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
          * (tf_0 /""",
@@ -553,6 +610,60 @@ FROM s ORDER BY raw DESC, vec_id LIMIT 10
 """
 
 
+def _ann_ivf_sql(n_lists: int = 8, nprobe: int = 2) -> str:
+    """DuckDB oracle for IVF-flat: centroids are the embeddings at ids
+    i*N//n_lists (exact integer arithmetic both engines), assignment is
+    argmax cosine with lowest-list tie-break, the query probes the nprobe
+    nearest lists, exact cosine rerank inside them — every float comparison
+    runs on the same sequential-fold dot product as the Spark plan."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+seeds AS (SELECT DISTINCT (i * n) // {n_lists} AS sid
+          FROM range({n_lists}) t(i), cnt),
+cents AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS list_id,
+                 embedding::DOUBLE[] AS c
+          FROM embeddings JOIN seeds ON vec_id = sid),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT list_id FROM cents, q
+          ORDER BY {cos.format(a='qv', b='c')} DESC, list_id
+          LIMIT {nprobe}),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id <> 0),
+asg AS (SELECT vec_id, v, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY {cos.format(a='v', b='c')} DESC, list_id) AS rn
+        FROM d, cents),
+cand AS (SELECT vec_id, v FROM asg
+         WHERE rn = 1 AND list_id IN (SELECT list_id FROM probe)),
+s AS (SELECT vec_id, {cos.format(a='v', b='qv')} AS raw FROM cand, q)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank,
+       ROUND(raw, 4) AS cosine
+FROM s ORDER BY raw DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_cosine_ivf_top10", sql=_ann_ivf_sql())
+def ann_cosine_ivf_top10(spark, sf_dir):
+    """IVF-flat ANN (the brief's 'IVF variant as the scale path'): 8
+    data-sampled coarse centroids, vectors assigned by argmax cosine,
+    query probes the 2 nearest lists, exact rerank inside them. At 100 TB
+    the assignment runs once at ingest and the table is partitioned by
+    list_id — a probe scans nprobe/n_lists of the corpus. Centroids sample
+    from the FULL table; the search set excludes the query vector."""
+    from lucille_spark.ml.similarity import ivf_topk, sample_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = sample_centroids(emb, "vec_id", "embedding", n_lists=8)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0),
+                    [float(x) for x in qvec], "vec_id", "embedding",
+                    k=10, nprobe=2, centroids=cents)
+
+
 @register("ann_cosine_lsh_top10", sql=_ann_lsh_sql())
 def ann_cosine_lsh_top10(spark, sf_dir):
     from lucille_spark.ml.similarity import cosine_topk_lsh
@@ -656,6 +767,69 @@ def text_langid(spark, sf_dir):
     from lucille_spark.ml.textstats import language_scores
 
     return language_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _langid_stage_sql(min_len: int, max_len: int, min_prob: float) -> str:
+    """DetectLanguage STAGE semantics (stage/DetectLanguage.java:139-172)
+    generated from the same profile dict: max_length truncation before
+    tokenizing, min_length skip, confidence floor(hits/n*100)/100 with a
+    min_probability gate. Stage tie-break is array_max over (hits, lang)
+    structs = lexicographically LARGEST code on equal hits."""
+    from lucille_spark.ml.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hit_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, tlen, '{lang}' AS lang, "
+        "CAST(len(list_intersect(list_distinct(toks), ["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"])) AS BIGINT) AS hits, {len(LANG_PROFILES[lang])} AS n FROM t"
+        for lang in langs)
+    return f"""
+WITH c AS (
+  SELECT doc_id, length(coalesce(text, '')) AS tlen,
+         substr(coalesce(text, ''), 1, {max_len}) AS ctext
+  FROM documents
+),
+t AS (
+  SELECT doc_id, tlen, {duckdb_tokens_sql('ctext')} AS toks
+  FROM c
+),
+scores AS (
+  {hit_rows}
+),
+best AS (
+  SELECT doc_id, tlen, lang, hits,
+         floor(CAST(hits AS DOUBLE) / n * 100) / 100 AS conf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+  CASE WHEN tlen >= {min_len} AND hits > 0 AND conf >= {min_prob}
+       THEN lang ELSE '' END AS language,
+  CASE WHEN tlen >= {min_len} AND hits > 0 AND conf >= {min_prob}
+       THEN conf ELSE CAST(-1.0 AS DOUBLE) END AS confidence
+FROM best WHERE rn = 1
+"""
+
+
+@register("stage_langid_options", sql=_langid_stage_sql(200, 300, 0.15))
+def stage_langid_options(spark, sf_dir):
+    """DetectLanguage stage with the reference's full option surface
+    exercised (stage/DetectLanguage.java:139-172): max_length=300 truncates
+    before detection, min_length=200 skips ~a quarter of the corpus,
+    min_probability=0.15 rejects single-stopword hits (confidence is
+    floor(hits/n*100)/100 like the reference's Math.floor(prob*100)/100)."""
+    from lucille_spark.pipeline.stages import DetectLanguage
+
+    st = DetectLanguage(source="text", min_length=200, max_length=300,
+                        min_probability=0.15)
+    out = st.apply(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("language"), F.lit("")).alias("language"),
+        F.coalesce(F.col("language_confidence"),
+                   F.lit(-1.0)).cast("double").alias("confidence"))
 
 
 # =========================================================================

@@ -38,20 +38,7 @@ from lucille_spark.index.builder import (
 from lucille_spark.index.ordinals import assign_doc_ord
 
 
-def _recover_lexicon(index_dir: str) -> None:
-    """Recover from a crash mid lexicon swap: if ``lexicon`` is missing but
-    ``lexicon_old`` (the pre-swap copy renamed aside) exists, restore it;
-    a leftover ``lexicon_old`` NEXT TO a live ``lexicon`` is debris from a
-    crash after the second rename and is dropped."""
-    lex_dir = os.path.join(index_dir, "lexicon")
-    lex_old = lex_dir + "_old"
-    if not os.path.exists(lex_old):
-        return
-    if os.path.exists(lex_dir):
-        shutil.rmtree(lex_old, ignore_errors=True)
-    else:
-        os.rename(lex_old, lex_dir)
-    shutil.rmtree(lex_dir + "_tmp", ignore_errors=True)
+from lucille_spark.index.reader import recover_lexicon as _recover_lexicon
 
 
 def merge_index(

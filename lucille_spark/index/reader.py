@@ -23,6 +23,26 @@ from lucille_spark.index import codecs
 SENTINEL = 1 << 62
 
 
+def recover_lexicon(index_dir: str) -> None:
+    """Recover from a crash mid lexicon swap (merge_index writes aside as
+    ``lexicon_old`` before renaming the new dir in): if ``lexicon`` is
+    missing but ``lexicon_old`` exists, restore it; a leftover
+    ``lexicon_old`` NEXT TO a live ``lexicon`` is post-swap debris and is
+    dropped. Lives here (not merge.py) so opening a reader doesn't import
+    the whole build stack into executor workers."""
+    import shutil
+
+    lex_dir = os.path.join(index_dir, "lexicon")
+    lex_old = lex_dir + "_old"
+    if not os.path.exists(lex_old):
+        return
+    if os.path.exists(lex_dir):
+        shutil.rmtree(lex_old, ignore_errors=True)
+    else:
+        os.rename(lex_old, lex_dir)
+    shutil.rmtree(lex_dir + "_tmp", ignore_errors=True)
+
+
 def read_meta(index_dir: str) -> Optional[dict]:
     """Read the 1-row ``_meta`` table (ord_span, version, updated_at);
     None when absent (pre-round-2 index layout)."""
@@ -40,9 +60,7 @@ class IndexReader:
         self.index_dir = index_dir
         # a crash mid lexicon swap (merge_index) may have left the live
         # lexicon renamed aside — restore before opening
-        from lucille_spark.index.merge import _recover_lexicon
-
-        _recover_lexicon(index_dir)
+        recover_lexicon(index_dir)
         self._postings = ds.dataset(os.path.join(index_dir, "postings"))
         self._lexicon = ds.dataset(os.path.join(index_dir, "lexicon"))
         self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
@@ -106,6 +124,22 @@ class IndexReader:
             rows = t.to_pylist()
             self._term_cache[key] = rows[0] if rows else None
         return self._term_cache[key]
+
+    def terms_with_prefix(self, field: str, prefix: str,
+                          limit: int = 1024) -> List[str]:
+        """Dictionary terms starting with ``prefix``, ascending, capped.
+        The lexicon is term-sorted parquet, so the range predicate
+        [prefix, prefix+0x7F) prunes to the row groups covering the prefix
+        — the skip-list seek of Lucene's TermsEnum (analyzer alphabet is
+        ASCII, so 0x7F upper-bounds every continuation)."""
+        t = self._lexicon.to_table(
+            filter=(ds.field("field") == field)
+            & (ds.field("term") >= prefix)
+            & (ds.field("term") < prefix + "\x7f"),
+            columns=["term"])
+        terms = sorted(x for x in t["term"].to_pylist()
+                       if x.startswith(prefix))
+        return terms[:limit]
 
     def idf(self, field: str, term: str) -> float:
         info = self.term_info(field, term)

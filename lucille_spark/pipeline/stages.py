@@ -499,29 +499,74 @@ class ParseFilePath(Stage):
 class DictionaryLookup(Stage):
     """stage/DictionaryLookup.java:1-35 — exact term lookup with payloads.
 
-    The dictionary becomes a broadcast map expression; set_only mode emits
-    a boolean (all values in dict), matching the reference's setOnly."""
+    Small dictionaries become a broadcast map expression. Above
+    ``join_threshold`` entries the lookup switches to a broadcast hash
+    JOIN against a dictionary DataFrame (plan size O(1) in |dict|, the
+    ExtractEntitiesFST-scale story): scalar columns join directly; array
+    columns posexplode, join, and reassemble in element order (needs
+    ``id_col``). ``set_only`` (the reference's setOnly boolean) stays on
+    the expression path — its literal is ONE flat array node, and its
+    three-valued null semantics (false beats null beats true) don't
+    survive an explode faithfully."""
     source: str = ""
     dest: str = ""
     dictionary: Dict[str, str] = dc_field(default_factory=dict)
     set_only: bool = False
+    use_join: Optional[bool] = None
+    join_threshold: int = 1024
+    id_col: str = "id"
 
     def apply(self, df):
+        dtype = dict(df.dtypes).get(self.source, "string")
+        is_arr = dtype.startswith("array")
+        join_mode = self.use_join
+        if join_mode is None:
+            join_mode = (not self.set_only
+                         and len(self.dictionary) > self.join_threshold
+                         and (not is_arr or self.id_col in df.columns))
+        if join_mode and not self.set_only:
+            return self._apply_join(df, is_arr)
+        col = F.col(self.source)
         keys = F.array(*[F.lit(k) for k in self.dictionary])
         kv = F.create_map(*[F.lit(x) for pair in self.dictionary.items()
                             for x in pair])
-        dtype = dict(df.dtypes).get(self.source, "string")
-        col = F.col(self.source)
         if self.set_only:
-            src_arr = col if dtype.startswith("array") else F.array(col)
+            src_arr = col if is_arr else F.array(col)
             return self._set(df, self.dest,
                              F.forall(src_arr, lambda x: F.array_contains(keys, x)))
-        if dtype.startswith("array"):
+        if is_arr:
             out = F.filter(F.transform(col, lambda x: kv[x]),
                            lambda x: x.isNotNull())
         else:
             out = kv[col]
         return self._set(df, self.dest, out)
+
+    def _apply_join(self, df, is_arr: bool):
+        spark = df.sparkSession
+        ddf = spark.createDataFrame(list(self.dictionary.items()),
+                                    "_dl_term string, _dl_payload string")
+        if not is_arr:
+            res = df.join(F.broadcast(ddf),
+                          F.col(self.source) == F.col("_dl_term"), "left")
+            return self._set(res, self.dest, F.col("_dl_payload")) \
+                .drop("_dl_term", "_dl_payload")
+        if self.id_col not in df.columns:
+            raise ValueError(f"array join mode needs id_col "
+                             f"{self.id_col!r} on the frame")
+        ex = df.select(F.col(self.id_col).alias("_dl_id"),
+                       F.posexplode(F.col(self.source)).alias("_p", "_dl_term"))
+        j = ex.join(F.broadcast(ddf), "_dl_term")
+        agg = (j.groupBy("_dl_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("_p", "_dl_payload"))),
+                   lambda s: s["_dl_payload"]).alias("_dl_out")))
+        res = df.join(agg.withColumnRenamed("_dl_id", self.id_col),
+                      self.id_col, "left")
+        # expr-mode parity: null source -> null; no matches -> empty array
+        out = F.when(F.col(self.source).isNull(),
+                     F.lit(None).cast("array<string>")).otherwise(
+            F.coalesce(F.col("_dl_out"), F.array().cast("array<string>")))
+        return self._set(res, self.dest, out).drop("_dl_out")
 
 
 @register_stage
@@ -529,15 +574,47 @@ class DictionaryLookup(Stage):
 class Contains(Stage):
     """stage/Contains.java:1-15 — whole-word any-match tagging (the
     reference builds an Aho-Corasick trie; an alternation rlike compiles to
-    the same DFA inside the JVM regex engine for moderate dictionaries)."""
+    the same DFA inside the JVM regex engine for moderate dictionaries).
+
+    Above ``join_threshold`` values the stage delegates to the
+    ExtractEntities broadcast-join path per field (token-equality
+    whole-word matching, case-preserving like the rlike) — one exploded
+    join instead of a megabyte alternation pattern; needs ``id_col``."""
     fields: Sequence[str] = ()
     values: Sequence[str] = ()
     dest: str = "contains"
     output_value: str = "match"
+    use_join: Optional[bool] = None
+    join_threshold: int = 256
+    id_col: str = "id"
 
     def apply(self, df):
         import re as _re
 
+        join_mode = self.use_join
+        if join_mode is None:
+            join_mode = (len(self.values) > self.join_threshold
+                         and self.id_col in df.columns)
+        if join_mode:
+            flags = []
+            for i, f_name in enumerate(self.fields):
+                tmp = f"_ct_hits_{i}"
+                st = ExtractEntities(
+                    source=f_name, dest=tmp,
+                    dictionary={v: self.output_value for v in self.values},
+                    ignore_case=False, stop_on_hit=True,
+                    use_join=True, id_col=self.id_col)
+                df = st.apply(df)
+                flag = f"_ct_flag_{i}"
+                df = df.withColumn(flag, F.size(F.col(tmp)) > 0).drop(tmp)
+                flags.append(flag)
+            pred = None
+            for flag in flags:
+                c = F.col(flag)
+                pred = c if pred is None else (pred | c)
+            return self._set(df, self.dest,
+                             F.when(pred, F.lit(self.output_value))
+                             ).drop(*flags)
         pat = r"\b(" + "|".join(_re.escape(v) for v in self.values) + r")\b"
         pred = None
         for f_name in self.fields:

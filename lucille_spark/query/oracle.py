@@ -123,9 +123,19 @@ class OracleIndex:
             return res
         raise TypeError(f"unknown node {node!r}")
 
+    def terms_with_prefix(self, field: str, prefix: str) -> List[str]:
+        return sorted(t for t in self.postings.get(field, {})
+                      if t.startswith(prefix))
+
+    def _parse(self, query: str, default_field: str):
+        from lucille_spark.query.parser import expand_prefixes
+
+        return expand_prefixes(parse(query, default_field),
+                               self.terms_with_prefix)
+
     def match_query(self, query: str, default_field: str = "content") -> List:
         """Percolator-style: return doc ids matching the boolean query."""
-        node = parse(query, default_field)
+        node = self._parse(query, default_field)
         return sorted(
             (self.doc_ids[i] for i in self.matching(node)),
             key=lambda x: (str(x)),
@@ -150,7 +160,7 @@ class OracleIndex:
         Scoring accumulates over *positive* terms in a fixed order
         (term order of appearance) so float summation order is deterministic.
         """
-        node = parse(query, default_field)
+        node = self._parse(query, default_field)
         from lucille_spark.query.parser import positive_terms
 
         matched = self.matching(node)

@@ -44,6 +44,16 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """Lucene classic `term*` PrefixQuery. Executors must rewrite it via
+    :func:`expand_prefixes` before evaluation (the expansion needs a term
+    dictionary, which the parser doesn't have)."""
+    field: str
+    text: str           # the prefix, analyzer-lowercased
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -167,7 +177,22 @@ class _Parser:
         if t.group("term"):
             fieldname = t.group("tfield") or self.default_field
             boost = float(t.group("tboost") or 1.0)
-            toks = tokenize_py(t.group("ttext"))
+            raw = t.group("ttext")
+            if raw.endswith("*"):
+                # PrefixQuery (`spa*`). Lucene's classic parser lowercases
+                # wildcard terms but does NOT run the analyzer chain over
+                # them; mid-token wildcards are out of this subset.
+                pre = raw[:-1].lower()
+                if not pre or "*" in pre:
+                    raise QueryParseError(
+                        f"unsupported wildcard pattern {raw!r} "
+                        "(only trailing-star prefix queries)")
+                return Prefix(fieldname, pre, boost)
+            if "*" in raw:
+                raise QueryParseError(
+                    f"unsupported wildcard pattern {raw!r} "
+                    "(only trailing-star prefix queries)")
+            toks = tokenize_py(raw)
             if not toks:
                 raise QueryParseError(f"term analyzes to nothing: {t.group('ttext')!r}")
             if len(toks) == 1:
@@ -187,6 +212,33 @@ def parse(query: str, default_field: str = DEFAULT_FIELD):
     node = p.parse_or()
     if p.peek() is not None:
         raise QueryParseError(f"trailing input from token {p.i}")
+    return node
+
+
+def expand_prefixes(node, expander, max_expansions: int = 128):
+    """Rewrite every :class:`Prefix` into an OR of Terms over the matching
+    dictionary terms (MultiTermQuery.SCORING_BOOLEAN_REWRITE — each
+    expanded term BM25-scores with the prefix's boost). ``expander(field,
+    prefix)`` returns the matching terms; they are used sorted ascending,
+    capped at ``max_expansions`` (a documented cap, where Lucene's boolean
+    rewrite throws TooManyClauses at 1024). A prefix matching nothing
+    rewrites to a term that cannot exist in the index (`\\x00` is outside
+    the analyzer alphabet), which matches and scores nothing."""
+    if isinstance(node, Prefix):
+        terms = sorted(expander(node.field, node.text))[:max_expansions]
+        if not terms:
+            return Term(node.field, node.text + "\x00", node.boost)
+        if len(terms) == 1:
+            return Term(node.field, terms[0], node.boost)
+        return Or(tuple(Term(node.field, t, node.boost) for t in terms))
+    if isinstance(node, Not):
+        return Not(expand_prefixes(node.child, expander, max_expansions))
+    if isinstance(node, And):
+        return And(tuple(expand_prefixes(c, expander, max_expansions)
+                         for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(expand_prefixes(c, expander, max_expansions)
+                        for c in node.children))
     return node
 
 

@@ -27,7 +27,7 @@ import numpy as np
 from lucille_spark import BM25_B, BM25_K1
 from lucille_spark.index.reader import SENTINEL, IndexReader, TermCursor
 from lucille_spark.query.parser import (
-    And, Not, Or, Phrase, Term, parse, positive_terms,
+    And, Not, Or, Phrase, Term, expand_prefixes, parse, positive_terms,
 )
 
 
@@ -102,10 +102,17 @@ class IndexSearcher:
         # SORTED int64 array (searchsorted membership), not a Python set.
         self.tombstones = self.reader.tombstones
 
+    def _parse(self, query: str):
+        """Parse + rewrite PrefixQuery nodes against the lexicon (scoring
+        boolean rewrite; the prefix seek is a row-group-pruned range scan
+        over the term-sorted lexicon)."""
+        node = parse(query, self.default_field)
+        return expand_prefixes(node, self.reader.terms_with_prefix)
+
     # ------------------------------------------------------------------ API
     def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
         """BM25 top-k [(doc_id, score)] using the fastest applicable strategy."""
-        node = parse(query, self.default_field)
+        node = self._parse(query)
         shape = _classify(node)
         if shape == "or":
             hits = self._wand_or(
@@ -125,12 +132,12 @@ class IndexSearcher:
 
     def search_exhaustive(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
         """Decode-everything reference path (cross-check for WAND)."""
-        node = parse(query, self.default_field)
+        node = self._parse(query)
         return self._resolve(self._score_candidates(node, k))
 
     def match(self, query: str) -> List[str]:
         """Percolator-style boolean matching: sorted doc_ids."""
-        node = parse(query, self.default_field)
+        node = self._parse(query)
         ords = self._matching(node).materialize(
             self.reader.ord_span(), self.tombstones).tolist()
         id_map = self.reader.doc_ids_for_ords(ords)

@@ -298,3 +298,171 @@ def test_compact_matches_fresh_build(spark, tmp_path):
     # merged (tombstoned) index returns the same LIVE docs (scores differ:
     # its df/cf still count dead postings until compaction, like Lucene)
     assert {h[0] for h in sm.search("content:zzznew", 10)} == expect_ids
+
+
+# ------------------------------------------------------------- IVF-flat ANN
+def test_ivf_topk_recall_and_partition_shape(spark, tmp_path):
+    """IVF-flat: nprobe=n_lists must equal brute force exactly; small
+    nprobe returns a subset ranked identically on the candidates."""
+    import numpy as np
+
+    from lucille_spark.ml.similarity import (cosine_topk, ivf_assign,
+                                             ivf_topk, sample_centroids)
+
+    rng = [(i, [float(((i * 37 + j * 11) % 97) - 48) / 48.0
+                for j in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    q = rng[5][1]
+    cents = sample_centroids(df, "vec_id", "embedding", n_lists=4)
+    assert cents.count() == 4
+
+    # full probe == brute force
+    full = ivf_topk(df, q, "vec_id", "embedding", k=10, n_lists=4,
+                    nprobe=4, centroids=cents).collect()
+    brute = cosine_topk(df, q, "vec_id", "embedding", k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == \
+        [(r.vec_id, r.cosine) for r in brute]
+
+    # small probe: results are a subset of the corpus assigned to the
+    # probed lists, and every vector lands in exactly one list
+    asg = ivf_assign(df, "vec_id", "embedding", cents)
+    assert asg.count() == 200
+    assert asg.select("vec_id").distinct().count() == 200
+    assert asg.groupBy("list_id").count().count() <= 4
+    part = ivf_topk(df, q, "vec_id", "embedding", k=10, n_lists=4,
+                    nprobe=1, centroids=cents).collect()
+    brute_ids = [r.vec_id for r in brute]
+    got = {r.vec_id: r.cosine for r in part}
+    bru = {r.vec_id: r.cosine for r in brute}
+    for vid in got:
+        if vid in bru:
+            assert got[vid] == bru[vid]   # same exact cosine on overlap
+    # top-1 (the query vector itself) must be found even at nprobe=1
+    assert part[0].vec_id == brute_ids[0]
+
+
+def test_srp_bucket_pandas_matches_expression(spark):
+    """The matmul bucket (scale path for high dims) must equal the
+    expression bucket bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from lucille_spark.ml.similarity import (hyperplanes, srp_bucket,
+                                             srp_bucket_pandas)
+
+    rows = [(i, [float(((i * 13 + j * 7) % 31) - 15) / 15.0
+                 for j in range(16)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = hyperplanes(8, 16)
+    both = df.select(
+        "vec_id",
+        srp_bucket(F.col("embedding"), planes).alias("expr_b"),
+        srp_bucket_pandas(F.col("embedding"), planes).alias("mm_b"))
+    bad = both.filter(F.col("expr_b") != F.col("mm_b")).count()
+    assert bad == 0
+
+
+# ------------------------------------------------------------- PrefixQuery
+def test_prefix_query_parse_and_expand():
+    from lucille_spark.query.parser import (Or, Prefix, QueryParseError,
+                                            Term, expand_prefixes, parse)
+
+    node = parse("content:spa*")
+    assert node == Prefix("content", "spa", 1.0)
+    assert parse("SPA*") == Prefix("content", "spa", 1.0)  # lowercased
+    boosted = parse("content:spa*^2")
+    assert boosted == Prefix("content", "spa", 2.0)
+    with pytest.raises(QueryParseError):
+        parse("content:*abc")          # leading star unsupported
+    with pytest.raises(QueryParseError):
+        parse("content:a*b")           # mid-token star unsupported
+
+    exp = expand_prefixes(node, lambda f, p: ["spark", "spam", "spat"])
+    assert isinstance(exp, Or)
+    assert [t.text for t in exp.children] == ["spam", "spark", "spat"]
+    # nothing matches -> impossible term (outside the analyzer alphabet)
+    nothing = expand_prefixes(node, lambda f, p: [])
+    assert isinstance(nothing, Term) and "\x00" in nothing.text
+    # cap: first max_expansions in ascending order
+    capped = expand_prefixes(node, lambda f, p: [f"sp{i:03d}" for i in
+                                                 range(300)],
+                             max_expansions=5)
+    assert len(capped.children) == 5
+
+
+def test_prefix_query_rank_identity(index_dir, oracle):
+    """Index WAND path vs the pure-Python oracle on prefix queries —
+    identical ranked ids and scores (the F1 corpus has rich ident_*
+    prefixes, so the expansion is wide)."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    searcher = IndexSearcher(index_dir)
+    for q in ("content:gir*", "content:ret* OR content:imp*",
+              "content:koal*", "content:ident_1*",
+              "content:ret* AND content:if"):
+        got = searcher.search(q, k=10)
+        want = oracle.search(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, q
+    # boolean match semantics with prefixes
+    assert searcher.match("content:koal*") == oracle.match_query(
+        "content:koal*")
+    # prefix matching nothing -> no hits, no crash
+    assert searcher.search("content:zzzznope*", k=5) == []
+
+
+# --------------------------------- DictionaryLookup / Contains join modes
+def test_dictionary_lookup_join_matches_expr(spark):
+    from lucille_spark.pipeline.stages import DictionaryLookup
+
+    d = {"apple": "FRUIT", "carrot": "VEG", "dog": "PET"}
+    # scalar source
+    df = spark.createDataFrame(
+        [("a", "apple"), ("b", "stone"), ("c", None)],
+        "id string, word string")
+    for opts in ({}, {"use_join": True}):
+        st = DictionaryLookup(source="word", dest="kind", dictionary=d,
+                              **opts)
+        got = {r.id: r.kind for r in st.apply(df).collect()}
+        assert got == {"a": "FRUIT", "b": None, "c": None}, opts
+    # array source: element order kept, misses filtered, null stays null
+    df2 = spark.createDataFrame(
+        [("a", ["dog", "stone", "apple"]), ("b", ["x"]), ("c", None),
+         ("d", [])],
+        "id string, words array<string>")
+    expr = DictionaryLookup(source="words", dest="kinds", dictionary=d,
+                            use_join=False).apply(df2)
+    join = DictionaryLookup(source="words", dest="kinds", dictionary=d,
+                            use_join=True).apply(df2)
+    e = {r.id: (list(r.kinds) if r.kinds is not None else None)
+         for r in expr.collect()}
+    j = {r.id: (list(r.kinds) if r.kinds is not None else None)
+         for r in join.collect()}
+    assert e == j == {"a": ["PET", "FRUIT"], "b": [], "c": None, "d": []}
+    # big dictionary auto-switches and the plan stays bounded
+    big = {f"w{i}": f"p{i}" for i in range(2000)}
+    big.update(d)
+    st = DictionaryLookup(source="words", dest="kinds", dictionary=big)
+    out = st.apply(df2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 60_000 and "Broadcast" in plan
+    assert {r.id: (list(r.kinds) if r.kinds is not None else None)
+            for r in out.collect()} == e
+
+
+def test_contains_join_matches_rlike(spark):
+    from lucille_spark.pipeline.stages import Contains
+
+    df = spark.createDataFrame(
+        [("a", "the Dog barks", "x"), ("b", "nothing here", "cat nip"),
+         ("c", "dogmatic is not dog", "y"), ("d", "no", "no")],
+        "id string, f1 string, f2 string")
+    vals = ["Dog", "cat"]
+    expr = Contains(fields=["f1", "f2"], values=vals, dest="tag",
+                    use_join=False).apply(df)
+    join = Contains(fields=["f1", "f2"], values=vals, dest="tag",
+                    use_join=True).apply(df)
+    e = {r.id: r.tag for r in expr.collect()}
+    j = {r.id: r.tag for r in join.collect()}
+    # 'dogmatic' must NOT match (whole word); case-sensitive like the rlike
+    assert e == j == {"a": "match", "b": "match", "c": None, "d": None}

@@ -310,3 +310,22 @@ def test_rss_validation():
     assert parse_duration("1h") == 3600.0
     with pytest.raises(ValueError):
         parse_duration("abc")
+
+
+# ------------------------------------------------------------- status CLI
+def test_status_job_gather(spark, index_dir):
+    """RunnerManager parity surface (core/RunnerManager.java:21-110): run
+    history with stage detail + completeness from the lineage ledger."""
+    import importlib
+
+    status_job = importlib.import_module("jobs.status_job")
+    st = status_job.gather(index_dir)
+    assert st["latest_run"] is not None
+    run = st["runs"][st["latest_run"]]
+    assert run["complete"] is True
+    stages = [s["stage"] for s in run["stages"]]
+    assert {"doc_stats", "corpus_stats", "postings", "lexicon"} <= set(stages)
+    assert st["live_docs"] == 1000 and st["ord_span"] == 1000
+    assert st["tombstones"] == 0
+    assert "content" in st["fields"]
+    assert st["version"] and "@" in st["version"]

@@ -4,9 +4,10 @@ Usage: python tools/bench_worker.py CPUS N_DOCS [sf_dir]
 Prints one JSON line: build seconds, docs/sec, per-query WAND latency.
 
 Used by bench.py both for the headline numbers and for the two-cluster-size
-scaling-efficiency evidence (local[8] vs local[32] standing in for N vs 4N
-executors; the job is identical, only parallelism changes, and the produced
-index is byte-identical by construction — see index/ordinals.py).
+scaling-efficiency evidence (local[2] vs local[8] standing in for N vs 4N
+executors — the pair where this VM's memory bandwidth actually scales ~4x,
+see BENCH.md; the job is identical, only parallelism changes, and the
+produced index is byte-identical by construction — see index/ordinals.py).
 
 Env knobs:
   BENCH_RUNS=k       run k timed builds in this one JVM (default 1) and
@@ -120,20 +121,28 @@ def main():
             finally:
                 shutil.rmtree(wdir, ignore_errors=True)
 
+        # wall-clock budget (seconds for this worker, incl. warmup): runs
+        # beyond the 3rd are opportunistic — the north rule needs medians
+        # of >=3, and finishing inside the driver's bench timeout beats a
+        # 4th sample on a slow-VM day
+        budget = float(os.environ.get("BENCH_TIME_BUDGET", "0") or 0)
+        t_w = time.time()
         build_secs = []
         for r in range(n_runs):
-            # every run builds into a fresh dir from the same deterministic
-            # corpus — identical work, independently timed
-            rdir = out if r == n_runs - 1 else tempfile.mkdtemp(
-                prefix=f"lucille_bench_{cpus}_r{r}_")
+            if (budget and r >= 3 and build_secs
+                    and time.time() - t_w + build_secs[-1] > budget):
+                break
+            # every run rebuilds into a FRESH dir from the same
+            # deterministic corpus — identical work, independently timed
+            if r > 0:
+                shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()
-            stats = build_index(corpus, rdir, fields=("content",),
+            stats = build_index(corpus, out, fields=("content",),
                                 store_positions=True)
             build_secs.append(round(time.time() - t0, 3))
-            if rdir != out:
-                shutil.rmtree(rdir, ignore_errors=True)
-        build_secs_sorted = sorted(build_secs)
-        build_sec = build_secs_sorted[len(build_secs_sorted) // 2]
+        import statistics
+
+        build_sec = statistics.median(build_secs)
         n = stats["n_docs"] if n_docs_actual is None else n_docs_actual
 
         qtimes = {}
