@@ -1045,6 +1045,31 @@ def window_topk_per_user(spark, sf_dir):
             .select("user_id", "event_id", "rnk", "value"))
 
 
+@register("events_windowed_counts", sql="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""")
+def events_windowed_counts(spark, sf_dir):
+    """Tumbling event-time windows (streaming/windows.windowed_counts run
+    on a batch frame — the SAME operator the watermarked stream uses,
+    SURVEY.md §2.8): per (1-hour window, event_type) counts + value sums.
+    At 100 TB this runs continuously with a watermark over the live feed
+    (late-data drop verified in tests/test_round3_streaming.py)."""
+    from lucille_spark.streaming.windows import windowed_counts
+
+    out = windowed_counts(
+        _events(spark, sf_dir), "ts", ["event_type"], "1 hour",
+        agg_exprs=[F.count("*").cast("long").alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("total_value")])
+    return out.select("window_start", "window_end", "event_type",
+                      "n_events", "total_value")
+
+
 @register("events_sessionize", sql="""
 WITH o AS (
   SELECT user_id, ts,
