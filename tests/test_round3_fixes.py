@@ -466,3 +466,46 @@ def test_contains_join_matches_rlike(spark):
     j = {r.id: r.tag for r in join.collect()}
     # 'dogmatic' must NOT match (whole word); case-sensitive like the rlike
     assert e == j == {"a": "match", "b": "match", "c": None, "d": None}
+
+
+# ------------------------------------------------------ robustness extras
+def test_htmlsel_never_crashes_on_hostile_html():
+    """The selector engine must survive arbitrary malformed HTML (hypothesis
+    fuzz over a tag-soup alphabet) — parse errors may lose content, never
+    raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucille_spark.pipeline.htmlsel import select_html
+
+    soup = st.text(
+        alphabet="<>/ab c=\"'!&;-x1#.\n", min_size=0, max_size=200)
+
+    @settings(max_examples=200, deadline=None)
+    @given(soup)
+    def run(html):
+        for sel, typ in (("a", "text"), ("div.x", "html"),
+                         ("#x", "outerHtml"), ("a[href]", "text")):
+            out = select_html(html, sel, typ)
+            assert out is None or all(isinstance(x, str) for x in out)
+        out = select_html(html, "a", "attribute", "href")
+        assert out is None or all(isinstance(x, str) for x in out)
+
+    run()
+
+
+def test_chunk_text_many_chunks_timing(spark):
+    """VERDICT r2 #8 sanity: a 2,000-chunk document chunks in linear time
+    (the old per-chunk prefix re-aggregation was O(n^2) inside an
+    interpreted HOF — minutes at this size)."""
+    import time
+
+    words = " ".join(f"w{i}" for i in range(10_000))
+    df = spark.createDataFrame([("d", words)], "id string, text string")
+    st_ = ChunkText(source="text", mode="fixed", chunk_size=5)
+    t0 = time.time()
+    rows = _chunks(st_.apply(df)).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 2000
+    assert rows[-1].offset == sum(r.length for r in rows[:-1])
+    assert elapsed < 60, f"2k-chunk doc took {elapsed:.1f}s"
