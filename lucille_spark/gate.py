@@ -375,6 +375,38 @@ def wand_prefix_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id string, rank long, score double")
 
 
+_WAND_FUZZY_SQL = _WAND_PREFIX_SQL.replace(
+    """terms AS (
+  SELECT DISTINCT t AS term FROM d, unnest(toks) AS u(t)
+  WHERE t LIKE 's%' ORDER BY term LIMIT 128
+),""",
+    """terms AS (
+  SELECT term FROM (
+    SELECT DISTINCT t AS term, levenshtein(t, 'vektor') AS dist
+    FROM d, unnest(toks) AS u(t)
+    WHERE levenshtein(t, 'vektor') <= 2
+    ORDER BY dist, term LIMIT 50
+  )
+),""")
+
+
+@register("wand_fuzzy_top10", sql=_WAND_FUZZY_SQL)
+def wand_fuzzy_top10(spark, sf_dir):
+    """FuzzyQuery through the FULL engine path: `content:vektor~2` expands
+    against the lexicon by Levenshtein distance (closest-first, capped 50
+    like Lucene's FuzzyQuery top-terms rewrite; plain Levenshtein so
+    DuckDB's levenshtein() reproduces the set exactly — Lucene's Damerau
+    transpositions are a documented deviation), then scores as a boolean
+    OR under block-max WAND."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    hits = IndexSearcher(idx).search("content:vektor~2", k=10)
+    rows = [(doc_id, i + 1, round(score, 4))
+            for i, (doc_id, score) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id string, rank long, score double")
+
+
 _WAND_BOOST_SQL = _WAND_SQL.replace(
     """0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
          * (tf_0 /""",

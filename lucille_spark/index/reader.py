@@ -141,6 +141,26 @@ class IndexReader:
                        if x.startswith(prefix))
         return terms[:limit]
 
+    def terms_fuzzy(self, field: str, text: str, max_edits: int = 2,
+                    limit: int = 50) -> List[str]:
+        """Dictionary terms within ``max_edits`` Levenshtein of ``text``,
+        closest-first (tie: term asc), capped — FuzzyQuery's top-terms
+        selection (Lucene caps at 50 too). This scans the field's term
+        dictionary; Lucene walks a Levenshtein automaton over the FST
+        instead, which is the upgrade path if fuzzy queries ever hit a
+        10^9-term vocabulary."""
+        from lucille_spark.query.parser import levenshtein
+
+        t = self._lexicon.to_table(filter=ds.field("field") == field,
+                                   columns=["term"])
+        scored = []
+        for term in t["term"].to_pylist():
+            d = levenshtein(text, term, cap=max_edits)
+            if d <= max_edits:
+                scored.append((d, term))
+        scored.sort()
+        return [term for _, term in scored[:limit]]
+
     def idf(self, field: str, term: str) -> float:
         info = self.term_info(field, term)
         df = info["df"] if info else 0

@@ -127,11 +127,21 @@ class OracleIndex:
         return sorted(t for t in self.postings.get(field, {})
                       if t.startswith(prefix))
 
+    def terms_fuzzy(self, field: str, text: str, max_edits: int = 2,
+                    limit: int = 50) -> List[str]:
+        from lucille_spark.query.parser import levenshtein
+
+        scored = sorted(
+            (d, t) for t in self.postings.get(field, {})
+            if (d := levenshtein(text, t, cap=max_edits)) <= max_edits)
+        return [t for _, t in scored[:limit]]
+
     def _parse(self, query: str, default_field: str):
         from lucille_spark.query.parser import expand_prefixes
 
         return expand_prefixes(parse(query, default_field),
-                               self.terms_with_prefix)
+                               self.terms_with_prefix,
+                               fuzzy_expander=self.terms_fuzzy)
 
     def match_query(self, query: str, default_field: str = "content") -> List:
         """Percolator-style: return doc ids matching the boolean query."""

@@ -54,6 +54,40 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Fuzzy:
+    """Lucene classic `term~` / `term~1` FuzzyQuery. Expanded via
+    :func:`expand_prefixes` like Prefix. Deviation (documented): edit
+    distance is plain Levenshtein — transpositions cost 2, where Lucene
+    defaults to Damerau (cost 1) — so the DuckDB oracle's levenshtein()
+    reproduces the expansion set exactly."""
+    field: str
+    text: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+def levenshtein(a: str, b: str, cap: int = 1 << 30) -> int:
+    """Plain Levenshtein with an early-exit cap (returns cap+1 when the
+    distance provably exceeds cap)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < best:
+                best = v
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -178,6 +212,15 @@ class _Parser:
             fieldname = t.group("tfield") or self.default_field
             boost = float(t.group("tboost") or 1.0)
             raw = t.group("ttext")
+            if "~" in raw:
+                base, _, edits = raw.partition("~")
+                if ("*" in raw or not base or "~" in edits
+                        or edits not in ("", "1", "2")):
+                    raise QueryParseError(
+                        f"unsupported fuzzy pattern {raw!r} "
+                        "(term~ / term~1 / term~2)")
+                return Fuzzy(fieldname, base.lower(),
+                             int(edits) if edits else 2, boost)
             if raw.endswith("*"):
                 # PrefixQuery (`spa*`). Lucene's classic parser lowercases
                 # wildcard terms but does NOT run the analyzer chain over
@@ -215,29 +258,49 @@ def parse(query: str, default_field: str = DEFAULT_FIELD):
     return node
 
 
-def expand_prefixes(node, expander, max_expansions: int = 128):
-    """Rewrite every :class:`Prefix` into an OR of Terms over the matching
-    dictionary terms (MultiTermQuery.SCORING_BOOLEAN_REWRITE — each
-    expanded term BM25-scores with the prefix's boost). ``expander(field,
-    prefix)`` returns the matching terms; they are used sorted ascending,
-    capped at ``max_expansions`` (a documented cap, where Lucene's boolean
-    rewrite throws TooManyClauses at 1024). A prefix matching nothing
-    rewrites to a term that cannot exist in the index (`\\x00` is outside
-    the analyzer alphabet), which matches and scores nothing."""
-    if isinstance(node, Prefix):
-        terms = sorted(expander(node.field, node.text))[:max_expansions]
+def expand_prefixes(node, expander, max_expansions: int = 128,
+                    fuzzy_expander=None):
+    """Rewrite every :class:`Prefix` / :class:`Fuzzy` into an OR of Terms
+    over the matching dictionary terms (MultiTermQuery.
+    SCORING_BOOLEAN_REWRITE — each expanded term BM25-scores with the
+    multi-term node's boost), term-ascending so float summation order is
+    deterministic. ``expander(field, prefix)`` serves Prefix;
+    ``fuzzy_expander(field, text, max_edits)`` serves Fuzzy (its result is
+    pre-capped by closest-first selection, then re-sorted by term here).
+    Prefix expansion caps at ``max_expansions`` (Lucene's boolean rewrite
+    throws TooManyClauses at 1024; ours truncates, documented). A node
+    matching nothing rewrites to a term that cannot exist in the index
+    (`\\x00` is outside the analyzer alphabet): matches and scores
+    nothing."""
+
+    def as_terms(terms, field, boost, text):
+        terms = sorted(terms)
         if not terms:
-            return Term(node.field, node.text + "\x00", node.boost)
+            return Term(field, text + "\x00", boost)
         if len(terms) == 1:
-            return Term(node.field, terms[0], node.boost)
-        return Or(tuple(Term(node.field, t, node.boost) for t in terms))
+            return Term(field, terms[0], boost)
+        return Or(tuple(Term(field, t, boost) for t in terms))
+
+    if isinstance(node, Prefix):
+        return as_terms(sorted(expander(node.field,
+                                        node.text))[:max_expansions],
+                        node.field, node.boost, node.text)
+    if isinstance(node, Fuzzy):
+        if fuzzy_expander is None:
+            raise ValueError("fuzzy query needs a fuzzy_expander")
+        return as_terms(fuzzy_expander(node.field, node.text,
+                                       node.max_edits),
+                        node.field, node.boost, node.text)
     if isinstance(node, Not):
-        return Not(expand_prefixes(node.child, expander, max_expansions))
+        return Not(expand_prefixes(node.child, expander, max_expansions,
+                                   fuzzy_expander))
     if isinstance(node, And):
-        return And(tuple(expand_prefixes(c, expander, max_expansions)
+        return And(tuple(expand_prefixes(c, expander, max_expansions,
+                                         fuzzy_expander)
                          for c in node.children))
     if isinstance(node, Or):
-        return Or(tuple(expand_prefixes(c, expander, max_expansions)
+        return Or(tuple(expand_prefixes(c, expander, max_expansions,
+                                        fuzzy_expander)
                         for c in node.children))
     return node
 

@@ -103,11 +103,13 @@ class IndexSearcher:
         self.tombstones = self.reader.tombstones
 
     def _parse(self, query: str):
-        """Parse + rewrite PrefixQuery nodes against the lexicon (scoring
+        """Parse + rewrite Prefix/Fuzzy nodes against the lexicon (scoring
         boolean rewrite; the prefix seek is a row-group-pruned range scan
-        over the term-sorted lexicon)."""
+        over the term-sorted lexicon, fuzzy is a capped closest-first
+        dictionary scan)."""
         node = parse(query, self.default_field)
-        return expand_prefixes(node, self.reader.terms_with_prefix)
+        return expand_prefixes(node, self.reader.terms_with_prefix,
+                               fuzzy_expander=self.reader.terms_fuzzy)
 
     # ------------------------------------------------------------------ API
     def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:

@@ -509,3 +509,29 @@ def test_chunk_text_many_chunks_timing(spark):
     assert len(rows) == 2000
     assert rows[-1].offset == sum(r.length for r in rows[:-1])
     assert elapsed < 60, f"2k-chunk doc took {elapsed:.1f}s"
+
+
+# -------------------------------------------------------------- FuzzyQuery
+def test_fuzzy_query_parse_and_rank_identity(index_dir, oracle):
+    from lucille_spark.query.parser import (Fuzzy, QueryParseError,
+                                            levenshtein, parse)
+    from lucille_spark.query.searcher import IndexSearcher
+
+    assert parse("content:giraffe~") == Fuzzy("content", "giraffe", 2, 1.0)
+    assert parse("giraffe~1").max_edits == 1
+    with pytest.raises(QueryParseError):
+        parse("content:abc~3")
+    assert levenshtein("kitten", "sitting") == 3
+
+    searcher = IndexSearcher(index_dir)
+    for q in ("content:girafe~", "content:koala~1",
+              "content:retur~1 OR content:impor~1",
+              "content:giraffe~1 AND content:test"):
+        got = searcher.search(q, k=10)
+        want = oracle.search(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want], q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, q
+    assert searcher.match("content:koala~1") == oracle.match_query(
+        "content:koala~1")
+    assert searcher.search("content:qqqqqqqqq~1", k=5) == []
