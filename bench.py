@@ -33,11 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 52k docs x 4 timed builds per level (after a 10k-doc JIT warmup build in
+# 42k docs x 4 timed builds per level (after a 10k-doc JIT warmup build in
 # the same JVM): the north rule's evidence must be MEDIANS of >=3 runs
 # because this shared-host VM swings +-20% run to run (BENCH.md); 4 runs
 # with a true median (mean of middle two) tightens the recorded ratio
-# against per-run noise, and 52k keeps each build long enough (~20s at 8
+# against per-run noise, and 42k keeps each build long enough (~20s at 8
 # cores) that per-job fixed cost stays a small fraction of the timing.
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "42000"))
 BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "520"))
@@ -105,11 +105,22 @@ def main():
         # distributed query-batch throughput (queries are the parallel unit)
         from lucille_spark.query.executor_df import search_batch
 
+        # median of >=3 runs (VERDICT r3 #3: this was the one single-run
+        # bench number and it swung 59% on VM noise). Run 1 is the cold
+        # search tier (python-worker spinup + per-worker searcher opens)
+        # and is recorded separately; runs 2+ hit the version-keyed
+        # per-worker searcher cache — the steady-state throughput any
+        # long-lived search tier actually serves at.
         batch_queries = [(f"q{i}", q) for i in range(30)
                          for q in [list(WAND_QUERIES.values())[i % len(WAND_QUERIES)]]]
-        t0 = time.time()
-        search_batch(spark, idx_dir, batch_queries, k=10).count()
-        batch_sec = time.time() - t0
+        batch_samples = []
+        for rep in range(max(QUERY_REPS, 3)):
+            t0 = time.time()
+            search_batch(spark, idx_dir, batch_queries, k=10).count()
+            batch_samples.append(time.time() - t0)
+        queries["query_batch_30_cold"] = round(batch_samples[0], 3)
+        warm = sorted(batch_samples[1:])
+        batch_sec = (warm[(len(warm) - 1) // 2] + warm[len(warm) // 2]) / 2
         queries["query_batch_30"] = round(batch_sec, 3)
 
         for name, fn in [("bm25_df_or", bm25_or),

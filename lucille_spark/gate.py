@@ -486,6 +486,16 @@ tokdict AS (
   FROM (SELECT DISTINCT unnest(toks) AS term FROM toks)
 )"""
 
+# The inline token id the dedup scale path uses (ml/dedup._inline_tid):
+# Rabin-Karp polynomial hash acc = (acc*R + code) % P replayed with the
+# SAME integer arithmetic in DuckDB — so the gate-verified dedup plans are
+# the no-dictionary, no-join, no-global-sort ones (VERDICT r3 #1).
+_POLY_TID_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(term)+1), "
+    "i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))), "
+    "(acc, c) -> (acc * 1000003 + c) % 2147483647)")
+
 
 @register("dedup_exact", sql="""
 SELECT sha256(text) AS content_sha256,
@@ -507,11 +517,11 @@ def _minhash_sql(n_hashes: int = 8) -> str:
         for j, (a, b) in enumerate(_hash_params(n_hashes)))
     return f"""
 WITH {_TOKS_CTE},
-{_TOKDICT_CTE},
-ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks)
+ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks),
+tids AS (SELECT doc_id, {_POLY_TID_SQL} AS tid FROM ex)
 SELECT doc_id,
        {hcols}
-FROM ex JOIN tokdict USING (term)
+FROM tids
 GROUP BY doc_id
 """
 
@@ -532,15 +542,14 @@ def _simhash_sql(bits: int = 16) -> str:
         f"CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
     return f"""
 WITH {_TOKS_CTE},
-{_TOKDICT_CTE},
 ex AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
   GROUP BY doc_id, term
 ),
 j AS (
-  SELECT doc_id, tf, (tid * 2654435761) % {2**bits} AS v
-  FROM ex JOIN tokdict USING (term)
+  SELECT doc_id, tf, (({_POLY_TID_SQL}) * 2654435761) % {2**bits} AS v
+  FROM ex
 ),
 sums AS (SELECT doc_id, {s_cols} FROM j GROUP BY doc_id)
 SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM sums
@@ -744,15 +753,16 @@ def text_quality(spark, sf_dir):
 
 @register("text_fingerprint", sql=f"""
 WITH {_TOKS_CTE},
-{_TOKDICT_CTE},
 ex AS (
   SELECT doc_id, unnest(toks) AS term,
          generate_subscripts(toks, 1) AS pos
   FROM toks
-)
+),
+tids AS (SELECT doc_id, pos, {_POLY_TID_SQL} AS tid FROM ex)
 SELECT doc_id,
-       CAST(SUM(pos * tid) % 1000000007 AS BIGINT) AS fingerprint
-FROM ex JOIN tokdict USING (term)
+       CAST(SUM((pos * tid) % 1000000007) % 1000000007 AS BIGINT)
+         AS fingerprint
+FROM tids
 GROUP BY doc_id
 """)
 def text_fingerprint(spark, sf_dir):
@@ -862,6 +872,91 @@ def stage_langid_options(spark, sf_dir):
         F.coalesce(F.col("language"), F.lit("")).alias("language"),
         F.coalesce(F.col("language_confidence"),
                    F.lit(-1.0)).cast("double").alias("confidence"))
+
+
+_LANGID_SCRIPT_FIXTURES = [
+    (1, "这是一个用于测试的中文文档包含很多汉字"),
+    (2, "これはテストのための日本語の文書です"),
+    (3, "이것은테스트를위한한국어문서입니다"),
+    (4, "هذا مستند باللغة العربية للاختبار"),
+    (5, "זהו מסמך בעברית לבדיקה"),
+    (6, "Это русский документ для тестирования"),
+    (7, "Αυτό είναι ελληνικό έγγραφο για δοκιμή"),
+    (8, "the quick brown fox and the lazy dog in the field"),
+    (9, "短い"),                        # < min_length -> skipped
+    (10, "привет world hello мир"),     # mixed: script chars win
+    (11, "日本語の文書テスト済み"),       # kanji-heavy but kana present -> ja
+]
+
+
+def _langid_scripts_sql(min_len: int = 5) -> str:
+    """INDEPENDENT pure-Python reimplementation of the script-block
+    language ID (stdlib re/math only, no Spark): per-script char counts
+    over the Unicode blocks, the kana ja/zh rule, argmax with (hits desc,
+    lang asc) tie-break, confidence floor(hits/non_space_chars*100)/100
+    for scripts and floor(hits/|profile|*100)/100 for the stopword
+    fallback — emitted as a VALUES oracle (same pattern as the multimodal
+    gate). Fixture strings are literals shared with the Spark side."""
+    import math
+    import re
+
+    from lucille_spark.ml.textstats import LANG_PROFILES
+
+    blocks = {
+        "ar": "[؀-ۿ]", "el": "[Ͱ-Ͽ]",
+        "he": "[֐-׿]", "ja": "[぀-ヿ]",
+        "ko": "[ᄀ-ᇿ가-힯]", "ru": "[Ѐ-ӿ]",
+        "zh": "[㐀-䶿一-鿿]",
+    }
+    rows = []
+    for doc_id, text in _LANGID_SCRIPT_FIXTURES:
+        if len(text) < min_len:
+            rows.append((doc_id, "", -1.0))
+            continue
+        cnt = {L: len(re.findall(p, text)) for L, p in blocks.items()}
+        eff = dict(cnt)
+        eff["ja"] = cnt["ja"] + cnt["zh"] if cnt["ja"] > 0 else 0
+        lang, hits = min(eff.items(), key=lambda kv: (-kv[1], kv[0]))
+        if hits > 0:
+            n_chars = len(re.sub(r"\s", "", text))
+            conf = math.floor(hits / n_chars * 100) / 100
+        else:
+            toks = set(re.findall(r"[a-z0-9_]+", text.lower()))
+            scored = {L: len(toks & set(ws))
+                      for L, ws in LANG_PROFILES.items()}
+            lang, hits = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+            if hits == 0:
+                rows.append((doc_id, "", -1.0))
+                continue
+            conf = math.floor(hits / len(LANG_PROFILES[lang]) * 100) / 100
+        rows.append((doc_id, lang, round(conf, 4)))
+    values = ",\n  ".join(
+        f"({i}, '{lang}', CAST({conf} AS DOUBLE))"
+        for i, lang, conf in rows)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, language, confidence
+FROM (VALUES
+  {values}) AS t(doc_id, language, confidence)
+"""
+
+
+@register("stage_langid_scripts", sql=_langid_scripts_sql())
+def stage_langid_scripts(spark, sf_dir):
+    """DetectLanguage non-Latin upgrade (VERDICT r3 #5): zh/ja/ko/ar/ru/
+    he/el fixtures through the stage's Unicode script-block path, plus the
+    Latin stopword fallback and the min_length skip, checked against a
+    hand-independent Python reimplementation (VALUES oracle)."""
+    from lucille_spark.pipeline.stages import DetectLanguage
+
+    df = spark.createDataFrame(_LANGID_SCRIPT_FIXTURES,
+                               "doc_id long, text string")
+    st = DetectLanguage(source="text", min_length=5)
+    out = st.apply(df)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("language"), F.lit("")).alias("language"),
+        F.round(F.coalesce(F.col("language_confidence"), F.lit(-1.0))
+                .cast("double"), 4).alias("confidence"))
 
 
 # =========================================================================
@@ -1321,12 +1416,12 @@ def _lsh_bands_sql(n_hashes=8, band_size=2, subset_mod=None):
         for b in range(n_bands))
     return f"""
 WITH {_TOKS_CTE},
-{_TOKDICT_CTE},
 ex AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks
        {subset_where}),
+tids AS (SELECT doc_id, {_POLY_TID_SQL} AS tid FROM ex),
 sigs AS (
   SELECT doc_id, {hcols}
-  FROM ex JOIN tokdict USING (term) GROUP BY doc_id
+  FROM tids GROUP BY doc_id
 ),
 bands AS ({band_rows})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1389,21 +1484,20 @@ WHERE len(list_intersect(sa.sh, sb.sh))
 
 @register("dedup_e2e_verified", sql=_dedup_e2e_sql())
 def dedup_e2e_verified(spark, sf_dir):
-    """The full near-dup pipeline: MinHash signatures -> banded LSH
-    candidates -> exact n-gram Jaccard verify on candidates only (no
-    quadratic step anywhere; the verify is two hash joins). Runs on the
-    doc_id%10=0 subset — see _dedup_e2e_sql — with the token dictionary
-    still built over the FULL corpus, like a production incremental run
-    would share one dictionary."""
+    """The full near-dup pipeline ON THE SCALE PATH: MinHash signatures
+    with inline hashed token ids (no dictionary anywhere in the plan) ->
+    banded LSH candidates -> exact n-gram Jaccard verify on candidates
+    only (no quadratic step anywhere; the verify is two hash joins). Runs
+    on the doc_id%10=0 subset — see _dedup_e2e_sql. Because the tid is a
+    pure function of the term, incremental production runs need no shared
+    dictionary state at all — new partitions hash identically."""
     from lucille_spark.ml.dedup import (lsh_candidate_pairs,
                                         minhash_signatures,
-                                        token_dictionary,
                                         verify_candidate_pairs)
 
     docs = _docs(spark, sf_dir)
     subset = docs.filter(F.col("doc_id") % 10 == 0)
-    tokdict = token_dictionary(docs, "text")
-    sigs = minhash_signatures(subset, "doc_id", "text", 8, tokdict=tokdict)
+    sigs = minhash_signatures(subset, "doc_id", "text", 8)
     cands = lsh_candidate_pairs(sigs, 8, band_size=2)
     # threshold 0: every candidate's exact jaccard is emitted, so the
     # oracle hash-checks the full verify computation, not just survivors
@@ -1459,6 +1553,30 @@ def ann_batch_topk(spark, sf_dir):
             .filter(F.col("rank") <= 5)
             .select(F.col("qid").cast("long").alias("qid"), "vec_id",
                     "rank", F.round("raw", 4).alias("cosine")))
+
+
+@register("ann_near_dup_pairs", sql="""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+""")
+def ann_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label
+    (ml/similarity.pairwise_cosine_block — the verify step behind an
+    LSH-bucketed candidate pass at scale)."""
+    from lucille_spark.ml.similarity import pairwise_cosine_block
+
+    pairs = pairwise_cosine_block(_emb(spark, sf_dir), "vec_id", "embedding",
+                                  "label", threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 @register("bm25_fielded", sql=f"""
@@ -1629,27 +1747,3 @@ def multimodal_features(spark, sf_dir):
                         lambda x: F.floor(x.cast("double") * 1e7
                                           + F.lit(0.5)).cast("long")
                         .cast("string")), "_").alias("feature"))
-
-
-@register("ann_near_dup_pairs", sql="""
-WITH d AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v))
-         * sqrt(list_dot_product(b.v, b.v))) >= 0.3
-""")
-def ann_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by label
-    (ml/similarity.pairwise_cosine_block — the verify step behind an
-    LSH-bucketed candidate pass at scale)."""
-    from lucille_spark.ml.similarity import pairwise_cosine_block
-
-    pairs = pairwise_cosine_block(_emb(spark, sf_dir), "vec_id", "embedding",
-                                  "label", threshold=0.3)
-    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

@@ -24,12 +24,16 @@ SENTINEL = 1 << 62
 
 
 def recover_lexicon(index_dir: str) -> None:
-    """Recover from a crash mid lexicon swap (merge_index writes aside as
-    ``lexicon_old`` before renaming the new dir in): if ``lexicon`` is
-    missing but ``lexicon_old`` exists, restore it; a leftover
-    ``lexicon_old`` NEXT TO a live ``lexicon`` is post-swap debris and is
-    dropped. Lives here (not merge.py) so opening a reader doesn't import
-    the whole build stack into executor workers."""
+    """WRITER-ONLY recovery from a crash mid lexicon swap (merge_index
+    writes aside as ``lexicon_old`` before renaming the new dir in): if
+    ``lexicon`` is missing but ``lexicon_old`` exists, restore it; a
+    leftover ``lexicon_old`` NEXT TO a live ``lexicon`` is post-swap
+    debris and is dropped. Only merge_index (which holds the write role)
+    may call this — readers must never mutate the index dir, or a reader
+    opening during a live merge's swap window would rename lexicon_old
+    back and break the merge's final rename (ENOTEMPTY with the delta
+    terms already on disk). Renames are guarded: a concurrent writer may
+    have completed the same step first."""
     import shutil
 
     lex_dir = os.path.join(index_dir, "lexicon")
@@ -39,8 +43,36 @@ def recover_lexicon(index_dir: str) -> None:
     if os.path.exists(lex_dir):
         shutil.rmtree(lex_old, ignore_errors=True)
     else:
-        os.rename(lex_old, lex_dir)
+        try:
+            os.rename(lex_old, lex_dir)
+        except OSError:
+            # another recovery finished the rename between our existence
+            # check and the rename — the lexicon is live either way
+            if not os.path.exists(lex_dir):
+                raise
     shutil.rmtree(lex_dir + "_tmp", ignore_errors=True)
+
+
+def _open_lexicon_readonly(index_dir: str):
+    """Open the lexicon WITHOUT mutating the directory. Normally just
+    ``lexicon/``; if a merge crashed (or is mid-swap) the live data may sit
+    in ``lexicon_old`` — fall back to reading that aside copy in place,
+    retrying once to ride out the nanoseconds-wide rename window of a live
+    merge. Recovery renames stay writer-only (merge_index)."""
+    import time
+
+    lex_dir = os.path.join(index_dir, "lexicon")
+    lex_old = lex_dir + "_old"
+    for attempt in range(3):
+        for cand in (lex_dir, lex_old):
+            if os.path.isdir(cand):
+                try:
+                    return ds.dataset(cand)
+                except FileNotFoundError:
+                    continue  # swept out from under us mid-open; retry
+        time.sleep(0.05 * (attempt + 1))
+    # final attempt surfaces the real error
+    return ds.dataset(lex_dir)
 
 
 def read_meta(index_dir: str) -> Optional[dict]:
@@ -58,11 +90,12 @@ def read_meta(index_dir: str) -> Optional[dict]:
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        # a crash mid lexicon swap (merge_index) may have left the live
-        # lexicon renamed aside — restore before opening
-        recover_lexicon(index_dir)
         self._postings = ds.dataset(os.path.join(index_dir, "postings"))
-        self._lexicon = ds.dataset(os.path.join(index_dir, "lexicon"))
+        # a crash mid lexicon swap (merge_index) may have left the live
+        # lexicon aside as lexicon_old — open it read-only; actual
+        # recovery renames are writer-only (merge_index calls
+        # recover_lexicon), so concurrent readers can't race a live merge
+        self._lexicon = _open_lexicon_readonly(index_dir)
         self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
         stats = ds.dataset(os.path.join(index_dir, "corpus_stats")).to_table()
         self.stats = {
@@ -70,6 +103,7 @@ class IndexReader:
         }
         self._term_cache: Dict = {}
         self._decode_cache: Dict = {}
+        self._fuzzy_stats: Dict = {}
         # deleted docs (incremental upserts/deletes): ordinals to exclude.
         # Stored as a SORTED int64 array, not a Python set: at 10^9 docs with
         # 1% deletes a set of ints is ~GBs; the array is 8B/entry and
@@ -145,16 +179,59 @@ class IndexReader:
                     limit: int = 50) -> List[str]:
         """Dictionary terms within ``max_edits`` Levenshtein of ``text``,
         closest-first (tie: term asc), capped — FuzzyQuery's top-terms
-        selection (Lucene caps at 50 too). This scans the field's term
-        dictionary; Lucene walks a Levenshtein automaton over the FST
-        instead, which is the upgrade path if fuzzy queries ever hit a
-        10^9-term vocabulary."""
+        selection (Lucene caps at 50 too; Lucene walks a Levenshtein
+        automaton over the FST, the upgrade path for a 10^9-term vocab).
+
+        The expansion is bounded in three sound stages, so the per-term
+        Python DP runs on a tiny survivor set instead of the whole
+        dictionary:
+          1. length band |len(t) - len(q)| <= max_edits evaluated INSIDE
+             the Arrow scan (utf8_length expression filter — vectorized
+             C++, nothing outside the band is materialized to Python);
+          2. bag-distance lower bound (multiset character diff <= lev,
+             Navarro 2001) computed as one NumPy 128-bin histogram matmul
+             over the banded candidates;
+          3. exact banded Levenshtein only on bag-distance survivors.
+        ``_fuzzy_stats`` records (banded, bag_survivors) per call so tests
+        can assert the DP touches a small fraction of the dictionary."""
+        import pyarrow.compute as pc
+
         from lucille_spark.query.parser import levenshtein
 
-        t = self._lexicon.to_table(filter=ds.field("field") == field,
-                                   columns=["term"])
+        qlen = len(text)
+        t = self._lexicon.to_table(
+            filter=(ds.field("field") == field)
+            & (pc.utf8_length(ds.field("term")) >= qlen - max_edits)
+            & (pc.utf8_length(ds.field("term")) <= qlen + max_edits),
+            columns=["term"])
+        terms = t["term"].to_pylist()
+        survivors = terms
+        if terms:
+            # bag distance: count chars into 128 ASCII bins (analyzer
+            # alphabet is ASCII; anything else folds into bin 127), then
+            # lev >= max(sum(pos diff), sum(neg diff)) per term
+            qv = np.frombuffer(text.encode("utf-8", "replace"),
+                               dtype=np.uint8)
+            qh = np.bincount(np.minimum(qv, 127), minlength=128)
+            enc = [s.encode("utf-8", "replace") for s in terms]
+            lens = np.array([len(e) for e in enc], dtype=np.int64)
+            arr = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            row = np.repeat(np.arange(len(terms)), lens)
+            chars = np.minimum(arr, 127).astype(np.int64)
+            hist = np.zeros((len(terms), 128), dtype=np.int64)
+            np.add.at(hist, (row, chars), 1)
+            diff = hist - qh[None, :]
+            bag = np.maximum(np.where(diff > 0, diff, 0).sum(axis=1),
+                             np.where(diff < 0, -diff, 0).sum(axis=1))
+            # byte-level bag distance over-counts multi-byte chars, so
+            # non-ASCII terms bypass the prefilter (analyzer output is
+            # ASCII in practice; this keeps the bound sound regardless)
+            survivors = [s for s, b in zip(terms, bag)
+                         if b <= max_edits or not s.isascii()]
+        self._fuzzy_stats = {"banded": len(terms),
+                             "bag_survivors": len(survivors)}
         scored = []
-        for term in t["term"].to_pylist():
+        for term in survivors:
             d = levenshtein(text, term, cap=max_edits)
             if d <= max_edits:
                 scored.append((d, term))

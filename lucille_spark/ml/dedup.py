@@ -12,9 +12,13 @@ for the 100 TB case:
 - SimHash:   bitwise majority of per-token hashes weighted by tf.
 - n-gram Jaccard: exact pairwise verification within a blocking key.
 
-At 10^12 docs the token dictionary join switches from dense-rank (used here
-so the oracle can reproduce ids) to a fixed 64-bit string hash — the
-signature algebra is unchanged.
+Token ids default to the INLINE hash path (``hash_ids=True``): tid is a
+pure function of the term (Rabin-Karp polynomial hash mod 2^31-1), so no
+token dictionary exists anywhere in the plan — no global sort, no join, no
+broadcast. That is the 100 TB recipe AND the oracle-verified one: the hash
+is exact integer arithmetic DuckDB reproduces step-for-step. The dense
+sorted-dictionary variant (``hash_ids=False``) remains for corpora that
+want compact ids (e.g. feeding an embedding table).
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from pyspark.sql import functions as F
 from lucille_spark.analysis import tokenize_col
 
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+HASH_R = 1000003  # polynomial-hash radix (prime, > any code point)
 
 
 def _splitmix(x: int) -> int:
@@ -67,13 +72,13 @@ def dedupe_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def token_dictionary(df: DataFrame, text_col: str,
                      hash_ids: bool = False) -> DataFrame:
-    """(term, tid) — dense ids by sorted term (oracle-reproducible).
+    """(term, tid) — dense ids by sorted term, or hashed ids.
 
-    ``hash_ids=True`` is the scale path: tid = |xxhash64(term)| — no global
-    single-partition rank sort anywhere in the plan. Everything downstream
-    (minhash/simhash/fingerprints) only needs a deterministic injective-ish
-    id, so the hash variant is drop-in; the sorted variant stays the
-    default because the DuckDB oracles reproduce its row_number() ids.
+    ``hash_ids=True`` is the scale path: tid = polynomial hash of the term
+    (:func:`_inline_tid`) — no global single-partition rank sort anywhere
+    in the plan, and downstream consumers don't even need this table (they
+    compute the tid inline). The dense sorted variant exists for consumers
+    that want compact contiguous ids; it is NOT the dedup default.
     """
     terms = (df.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
              .distinct())
@@ -90,29 +95,48 @@ def _inline_tid(term_col):
     token_dictionary(hash_ids=True) values): no dictionary table, no join,
     no broadcast — the 100-TB recipe. A 10^9-term vocabulary neither sorts
     globally nor fits a broadcast; with hashed ids the id is a pure
-    function of the term so the dictionary disappears from the plan."""
-    return F.pmod(F.xxhash64(term_col), F.lit(MINHASH_P))
+    function of the term so the dictionary disappears from the plan.
+
+    The hash is a Rabin-Karp polynomial over code points,
+    ``acc = (acc * R + code) mod P`` (P = 2^31-1, R = 1000003), reduced
+    mod P at every step so intermediates stay < 2^62 (int64-safe, no ANSI
+    overflow). Chosen over xxhash64 because the arithmetic is plain
+    integer SQL the DuckDB oracles replay exactly — the scale path is
+    oracle-verified, not just tested-equivalent. Whole-stage-codegen
+    JVM-side (sequence + aggregate + ascii/substring lambdas)."""
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.length(term_col)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * F.lit(HASH_R)
+                        + F.ascii(F.substring(term_col, i, F.lit(1))))
+        % F.lit(MINHASH_P))
+    # Spark's sequence(1, 0) yields [1, 0] (auto step -1), so guard the
+    # empty string explicitly (tokenizers never emit it, but stay total)
+    return F.when(F.length(term_col) == 0, F.lit(0).cast("long")) \
+            .otherwise(acc)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_hashes: int = 8,
                        tokdict: Optional[DataFrame] = None,
-                       hash_ids: bool = False) -> DataFrame:
+                       hash_ids: bool = True) -> DataFrame:
     """(doc_id, h_0..h_{n-1}) — min over distinct tokens of (a*tid+b) mod P.
 
-    ``hash_ids=True``: token ids come from :func:`_inline_tid` with NO
-    dictionary join at all (the scale path). Default keeps the dense
-    sorted-dictionary ids the DuckDB oracles reproduce; near-dup verdicts
-    are the same either way (tests/test_round3_fixes.py)."""
+    Default ``hash_ids=True``: token ids come from :func:`_inline_tid`
+    with NO dictionary join at all — the scale path, and the one the
+    DuckDB gate oracles verify (the polynomial tid is exact integer
+    arithmetic both engines compute identically). ``hash_ids=False`` uses
+    dense sorted-dictionary ids; near-dup verdicts are the same either
+    way (tests/test_round3_fixes.py)."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize_col(F.col(text_col)))).alias("term"))
-    if hash_ids:
+    if tokdict is not None:
+        joined = ex.join(F.broadcast(tokdict), "term")
+    elif hash_ids:
         joined = ex.withColumn("tid", _inline_tid(F.col("term")))
     else:
-        tokdict = (tokdict if tokdict is not None
-                   else token_dictionary(df, text_col))
-        joined = ex.join(F.broadcast(tokdict), "term")
+        joined = ex.join(F.broadcast(token_dictionary(df, text_col)), "term")
     aggs = [
         F.min((F.lit(a) * F.col("tid") + F.lit(b)) % F.lit(MINHASH_P))
         .cast("long").alias(f"h_{j}")
@@ -173,21 +197,22 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16,
             tokdict: Optional[DataFrame] = None,
-            hash_ids: bool = False) -> DataFrame:
+            hash_ids: bool = True) -> DataFrame:
     """(doc_id, simhash) — tf-weighted bit-majority fingerprint.
 
     Bit j of a token hash v is floor(v / 2^j) mod 2 (pure arithmetic, so the
     DuckDB oracle reproduces it); v = (tid * 2654435761) mod 2^bits.
-    ``hash_ids=True`` = inline hashed token ids, no dictionary join."""
+    Default ``hash_ids=True`` = inline hashed token ids (:func:`_inline_tid`),
+    no dictionary join — the oracle-verified scale path."""
     ex = (df.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokenize_col(F.col(text_col))).alias("term"))
           .groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf")))
-    if hash_ids:
+    if tokdict is not None:
+        joined = ex.join(F.broadcast(tokdict), "term")
+    elif hash_ids:
         joined = ex.withColumn("tid", _inline_tid(F.col("term")))
     else:
-        tokdict = (tokdict if tokdict is not None
-                   else token_dictionary(df, text_col))
-        joined = ex.join(F.broadcast(tokdict), "term")
+        joined = ex.join(F.broadcast(token_dictionary(df, text_col)), "term")
     joined = joined.withColumn(
         "v", (F.col("tid") * F.lit(2654435761)) % F.lit(2 ** bits))
     bit_sums = joined.groupBy("doc_id").agg(*[

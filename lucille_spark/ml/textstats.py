@@ -64,20 +64,29 @@ FP_P = 1000000007
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str,
-                 tokdict: Optional[DataFrame] = None) -> DataFrame:
+                 tokdict: Optional[DataFrame] = None,
+                 hash_ids: bool = True) -> DataFrame:
     """(doc_id, fingerprint) — order-sensitive positional hash
-    sum(pos * tid) mod P over the token stream (a rolling-hash family member
-    that both engines can compute with exact integer arithmetic)."""
-    from lucille_spark.ml.dedup import token_dictionary
+    sum((pos * tid) mod P) mod P over the token stream (a rolling-hash
+    family member both engines compute with exact integer arithmetic; the
+    per-element mod keeps every intermediate < 2^60 even at 10^9-token
+    documents). Default ``hash_ids=True``: tid is the inline polynomial
+    hash (dedup._inline_tid) — no dictionary join, the oracle-verified
+    scale path. Pass a ``tokdict`` (or hash_ids=False) for dense ids."""
+    from lucille_spark.ml.dedup import _inline_tid, token_dictionary
 
-    tokdict = tokdict if tokdict is not None else token_dictionary(df, text_col)
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize_col(F.col(text_col))).alias("pos", "term"))
-    joined = ex.join(F.broadcast(tokdict), "term")
+    if hash_ids and tokdict is None:
+        joined = ex.withColumn("tid", _inline_tid(F.col("term")))
+    else:
+        tokdict = (tokdict if tokdict is not None
+                   else token_dictionary(df, text_col))
+        joined = ex.join(F.broadcast(tokdict), "term")
     return joined.groupBy("doc_id").agg(
-        (F.sum((F.col("pos") + 1) * F.col("tid")) % F.lit(FP_P))
-        .cast("long").alias("fingerprint"))
+        (F.sum(((F.col("pos") + 1) * F.col("tid")) % F.lit(FP_P))
+         % F.lit(FP_P)).cast("long").alias("fingerprint"))
 
 
 LANG_PROFILES: Dict[str, Sequence[str]] = {
@@ -96,10 +105,46 @@ LANG_PROFILES: Dict[str, Sequence[str]] = {
 }
 
 
+# Unicode script blocks for non-Latin language ID (VERDICT r3 #5: the
+# stopword profiles are ASCII-only, so zh/ja/ko/ar/ru/he/el used to
+# misreport). Character ranges are the standard Unicode blocks; counting
+# them is one vectorized regexp_count per script, all JVM-side. Japanese
+# is distinguished from Chinese by kana: any kana present -> ja, scored as
+# kana+ideographs (Japanese prose mixes both); bare ideographs -> zh.
+SCRIPT_RANGES: Dict[str, str] = {
+    "ar": "[؀-ۿ]",            # Arabic
+    "el": "[Ͱ-Ͽ]",            # Greek and Coptic
+    "he": "[֐-׿]",            # Hebrew
+    "ja": "[぀-ヿ]",            # Hiragana + Katakana
+    "ko": "[ᄀ-ᇿ가-힯]",  # Jamo + Hangul syllables
+    "ru": "[Ѐ-ӿ]",            # Cyrillic
+    "zh": "[㐀-䶿一-鿿]",  # CJK ideographs (+ext A)
+}
+
+
+def script_hit_structs(text_col):
+    """Per-script (hits, lang) structs with the ja/zh kana rule applied:
+    effective ja hits = kana + ideographs when kana > 0, else 0; zh hits =
+    ideographs. A plain argmax (hits desc, lang asc on ties) over these
+    structs is then the script decision — ja beats zh exactly when kana
+    exists, with no special-case branch."""
+    cnt = {lang: F.regexp_count(text_col, F.lit(rng))
+           for lang, rng in SCRIPT_RANGES.items()}
+    eff = dict(cnt)
+    eff["ja"] = F.when(cnt["ja"] > 0, cnt["ja"] + cnt["zh"]) \
+                 .otherwise(F.lit(0))
+    return [F.struct(eff[lang].cast("long").alias("hits"),
+                     F.lit(lang).alias("lang"))
+            for lang in sorted(SCRIPT_RANGES)]
+
+
 def language_scores(df: DataFrame, id_col: str, text_col: str,
                     profiles: Dict[str, Sequence[str]] = None) -> DataFrame:
-    """(doc_id, hits_<lang>..., predicted) — stopword-profile language ID.
-    Ties break lexicographically by language code (deterministic)."""
+    """(doc_id, hits_<lang>..., predicted) — language ID: Unicode script
+    blocks decide non-Latin scripts first (any script hit wins over the
+    Latin stopword profiles); otherwise stopword-profile hits decide.
+    Ties break by hits desc then lexicographically smallest language code
+    (deterministic). hits_<lang> columns remain the stopword hits."""
     profiles = profiles or LANG_PROFILES
     toks = F.array_distinct(tokenize_col(F.col(text_col)))
     cols = [F.col(id_col).alias("doc_id")]
@@ -110,15 +155,23 @@ def language_scores(df: DataFrame, id_col: str, text_col: str,
         cols.append(hits.alias(f"hits_{lang}"))
         # max-struct ordering: hits desc, then REVERSED lang asc via struct max
         structs.append(F.struct(hits.alias("h"), F.lit(lang).alias("lang")))
-    out = df.select(*cols, F.array(*structs).alias("_s"))
+    out = df.select(
+        *cols, F.array(*structs).alias("_s"),
+        F.array(*script_hit_structs(F.col(text_col))).alias("_sc"))
+
     # pick max hits; tie → smallest lang code: sort by (h desc, lang asc)
-    best = F.element_at(
-        F.array_sort(
-            "_s", lambda a, b:
-            F.when(a["h"] > b["h"], -1).when(a["h"] < b["h"], 1)
-            .when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1)
-            .otherwise(0)), 1)
+    def _best(arr_col, h_key):
+        return F.element_at(
+            F.array_sort(
+                arr_col, lambda a, b:
+                F.when(a[h_key] > b[h_key], -1).when(a[h_key] < b[h_key], 1)
+                .when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1)
+                .otherwise(0)), 1)
+
+    best = _best(F.col("_s"), "h")
+    best_script = _best(F.col("_sc"), "hits")
     return out.withColumn(
         "predicted",
-        F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("unknown"))
-    ).drop("_s")
+        F.when(best_script["hits"] > 0, best_script["lang"])
+        .when(best["h"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+    ).drop("_s", "_sc")

@@ -4,10 +4,18 @@ jsoup; this container has no bs4/lxml/jsoup, so the selector subset the
 reference's fixtures exercise is implemented from scratch).
 
 Supported selector grammar (ApplyJSoupTest fixtures: css.conf `.class`,
-`[name=name]`, `#id`; extract-attributes.conf `a` + attribute type):
+`[name=name]`, `#id`; extract-attributes.conf `a` + attribute type;
+round 4 adds the child combinator and class-list attribute matching):
 
-    chain  := simple (WS simple)*          # descendant combinator
-    simple := [tag|*] [#id] (.class)* ([attr] | [attr=value])*
+    chain  := simple ((WS | WS? '>' WS?) simple)*   # descendant / child
+    simple := [tag|*] [#id] (.class)* ([attr] | [attr=value] | [attr~=value])*
+
+`A > B` matches B whose PARENT matches A (jsoup child combinator);
+`[attr~=value]` matches when value is a whitespace-separated word of the
+attribute (the class-list semantics of CSS ~=). Chain matching uses a
+proper backtracking walk over open ancestors, so mixed descendant/child
+chains resolve correctly (greedy-nearest-ancestor is wrong for `A > B C`
+when several ancestors match B).
 
 Extraction types per ApplyJSoup.java destinationFields:
     text      — element.text(): subtree text, whitespace-normalized
@@ -27,7 +35,7 @@ from typing import List, Optional, Tuple
 
 _SIMPLE = re.compile(
     r"^([a-zA-Z][\w-]*|\*)?(#[\w-]+)?((?:\.[\w-]+)*)((?:\[[^\]]+\])*)$")
-_ATTR = re.compile(r"\[([\w-]+)(?:=([^\]]*))?\]")
+_ATTR = re.compile(r"\[([\w-]+)(?:(~?)=([^\]]*))?\]")
 
 VOID_TAGS = {"br", "img", "hr", "meta", "link", "input", "area", "base",
              "col", "embed", "source", "track", "wbr", "param"}
@@ -42,12 +50,22 @@ _IMPLICIT_CLOSE = {
 
 
 def parse_selector(sel: str) -> List[tuple]:
-    """Compile a selector chain; raises ValueError on unsupported syntax."""
-    parts = sel.split()
+    """Compile a selector chain to [(simple, combinator), ...] where
+    ``combinator`` relates the simple to its LEFT neighbour: 'descendant'
+    (whitespace) or 'child' ('>'); the first entry's combinator is None.
+    Raises ValueError on unsupported syntax."""
+    parts = re.sub(r"\s*>\s*", " > ", sel).split()
     if not parts:
         raise ValueError("empty selector")
     out = []
+    comb = None
+    expect_simple = True
     for p in parts:
+        if p == ">":
+            if expect_simple or comb == "child":
+                raise ValueError(f"misplaced '>' in selector {sel!r}")
+            comb = "child"
+            continue
         m = _SIMPLE.match(p)
         if not m or (not m.group(1) and not m.group(2) and not m.group(3)
                      and not m.group(4)):
@@ -57,13 +75,19 @@ def parse_selector(sel: str) -> List[tuple]:
             tag = None
         eid = m.group(2)[1:] if m.group(2) else None
         classes = [c for c in (m.group(3) or "").split(".") if c]
-        attrs: List[Tuple[str, Optional[str]]] = []
+        attrs: List[Tuple[str, str, Optional[str]]] = []
         for am in _ATTR.finditer(m.group(4) or ""):
-            v = am.group(2)
+            v = am.group(3)
             if v is not None:
                 v = v.strip("\"'")
-            attrs.append((am.group(1), v))
-        out.append((tag.lower() if tag else None, eid, classes, attrs))
+            op = "~=" if am.group(2) else ("=" if v is not None else "")
+            attrs.append((am.group(1), op, v))
+        simple = (tag.lower() if tag else None, eid, classes, attrs)
+        out.append((simple, None if not out else (comb or "descendant")))
+        comb = None
+        expect_simple = False
+    if comb == "child":
+        raise ValueError(f"dangling '>' in selector {sel!r}")
     return out
 
 
@@ -79,12 +103,31 @@ def _match_simple(el, s) -> bool:
         cls = (a.get("class") or "").split()
         if any(c not in cls for c in classes):
             return False
-    for k, v in sattrs:
+    for k, op, v in sattrs:
         if k not in a:
             return False
-        if v is not None and (a.get(k) or "") != v:
+        if op == "=" and (a.get(k) or "") != v:
+            return False
+        if op == "~=" and v not in (a.get(k) or "").split():
             return False
     return True
+
+
+def _chain_match(stack, chain) -> bool:
+    """True when the chain matches with stack[-1] as the subject.
+    Backtracking right-to-left walk: descendant steps may bind to ANY
+    ancestor, child steps to the immediate parent only."""
+
+    def ok(ci: int, si: int) -> bool:
+        if not _match_simple(stack[si], chain[ci][0]):
+            return False
+        if ci == 0:
+            return True
+        if chain[ci][1] == "child":
+            return si > 0 and ok(ci - 1, si - 1)
+        return any(ok(ci - 1, sj) for sj in range(si - 1, -1, -1))
+
+    return ok(len(chain) - 1, len(stack) - 1)
 
 
 class _Selector(HTMLParser):
@@ -98,15 +141,7 @@ class _Selector(HTMLParser):
 
     # --- match helpers ---------------------------------------------------
     def _matches(self) -> bool:
-        if not _match_simple(self.stack[-1], self.chain[-1]):
-            return False
-        i = len(self.chain) - 2
-        for el in reversed(self.stack[:-1]):
-            if i < 0:
-                break
-            if _match_simple(el, self.chain[i]):
-                i -= 1
-        return i < 0
+        return _chain_match(self.stack, self.chain)
 
     # --- events ----------------------------------------------------------
     def handle_starttag(self, tag, attrs):

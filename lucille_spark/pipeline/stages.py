@@ -503,8 +503,10 @@ class DictionaryLookup(Stage):
     ``join_threshold`` entries the lookup switches to a broadcast hash
     JOIN against a dictionary DataFrame (plan size O(1) in |dict|, the
     ExtractEntitiesFST-scale story): scalar columns join directly; array
-    columns posexplode, join, and reassemble in element order (needs
-    ``id_col``). ``set_only`` (the reference's setOnly boolean) stays on
+    columns posexplode, join, and reassemble in element order, keyed by a
+    generated surrogate row id (``id_col`` is NOT used for the rejoin —
+    duplicate/null user ids are safe). ``set_only`` (the reference's
+    setOnly boolean) stays on
     the expression path — its literal is ONE flat array node, and its
     three-valued null semantics (false beats null beats true) don't
     survive an explode faithfully."""
@@ -522,8 +524,7 @@ class DictionaryLookup(Stage):
         join_mode = self.use_join
         if join_mode is None:
             join_mode = (not self.set_only
-                         and len(self.dictionary) > self.join_threshold
-                         and (not is_arr or self.id_col in df.columns))
+                         and len(self.dictionary) > self.join_threshold)
         if join_mode and not self.set_only:
             return self._apply_join(df, is_arr)
         col = F.col(self.source)
@@ -550,23 +551,24 @@ class DictionaryLookup(Stage):
                           F.col(self.source) == F.col("_dl_term"), "left")
             return self._set(res, self.dest, F.col("_dl_payload")) \
                 .drop("_dl_term", "_dl_payload")
-        if self.id_col not in df.columns:
-            raise ValueError(f"array join mode needs id_col "
-                             f"{self.id_col!r} on the frame")
-        ex = df.select(F.col(self.id_col).alias("_dl_id"),
-                       F.posexplode(F.col(self.source)).alias("_p", "_dl_term"))
+        # surrogate row id captured pre-explode (ADVICE r3): duplicate or
+        # null user ids would otherwise interleave both rows' elements in
+        # the positional reassembly below
+        base = df.withColumn("_dl_sid", F.monotonically_increasing_id())
+        ex = base.select(F.col("_dl_sid").alias("_dl_id"),
+                         F.posexplode(F.col(self.source)).alias("_p", "_dl_term"))
         j = ex.join(F.broadcast(ddf), "_dl_term")
         agg = (j.groupBy("_dl_id")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("_p", "_dl_payload"))),
                    lambda s: s["_dl_payload"]).alias("_dl_out")))
-        res = df.join(agg.withColumnRenamed("_dl_id", self.id_col),
-                      self.id_col, "left")
+        res = base.join(agg.withColumnRenamed("_dl_id", "_dl_sid"),
+                        "_dl_sid", "left")
         # expr-mode parity: null source -> null; no matches -> empty array
         out = F.when(F.col(self.source).isNull(),
                      F.lit(None).cast("array<string>")).otherwise(
             F.coalesce(F.col("_dl_out"), F.array().cast("array<string>")))
-        return self._set(res, self.dest, out).drop("_dl_out")
+        return self._set(res, self.dest, out).drop("_dl_out", "_dl_sid")
 
 
 @register_stage
@@ -579,7 +581,15 @@ class Contains(Stage):
     Above ``join_threshold`` values the stage delegates to the
     ExtractEntities broadcast-join path per field (token-equality
     whole-word matching, case-preserving like the rlike) — one exploded
-    join instead of a megabyte alternation pattern; needs ``id_col``."""
+    join instead of a megabyte alternation pattern; needs ``id_col``.
+
+    AUTO mode only switches to the join when every value is a single
+    ``[A-Za-z0-9_]+`` token, where token-equality and ``\\b``-regex
+    matching provably coincide (ADVICE r3: values like ``c++`` or
+    ``foo bar`` tokenize lossily / match token sequences the regex would
+    not, so crossing the size threshold must never change results — such
+    dictionaries stay on the rlike path whatever their size). An explicit
+    ``use_join=True`` overrides the guard and accepts token semantics."""
     fields: Sequence[str] = ()
     values: Sequence[str] = ()
     dest: str = "contains"
@@ -593,7 +603,10 @@ class Contains(Stage):
 
         join_mode = self.use_join
         if join_mode is None:
-            join_mode = (len(self.values) > self.join_threshold
+            join_safe = all(_re.fullmatch(r"[A-Za-z0-9_]+", v)
+                            for v in self.values)
+            join_mode = (join_safe
+                         and len(self.values) > self.join_threshold
                          and self.id_col in df.columns)
         if join_mode:
             flags = []
@@ -645,10 +658,21 @@ class DetectLanguage(Stage):
       input truncated to this many chars (DetectLanguage.java:160)
     - min_probability (ref minProbability, default 0.95 there; our
       heuristic confidence = profile-hit ratio lives on a different scale,
-      so the default here is 0.0 = off): results below the threshold leave
-      the fields untouched (DetectLanguage.java:163-166)
+      so the default here is 0.0 = off): results below the threshold NULL
+      the dest fields (deviation from the reference, which leaves the
+      document untouched — this stage always writes lang_dest/conf_dest,
+      with null on any skip, so the output schema is stable)
     - confidence output is floored to 2 decimals like the reference's
       Math.floor(prob*100)/100 (DetectLanguage.java:165)
+
+    Non-Latin scripts (zh/ja/ko/ar/ru/he/el) are detected from Unicode
+    script-block character counts BEFORE the stopword profiles (which are
+    ASCII-only and would otherwise see zero tokens): any script hit wins,
+    ja-vs-zh resolved by kana presence (ml/textstats.SCRIPT_RANGES), and
+    script confidence = floor(script_chars / non-space_chars * 100)/100.
+    The reference's cybozu langdetect reaches ~50 languages with n-gram
+    Bayesian profiles; this covers the 10 Latin profiles + 7 script blocks
+    deterministically (documented deviation, COVERAGE.md).
     """
     source: Sequence[str] | str = ""
     lang_dest: str = "language"
@@ -680,11 +704,28 @@ class DetectLanguage(Stage):
                 F.lit(len(words)).alias("n")))
         best = F.array_max(F.array(*hits))
         conf = F.floor(best["hits"] / best["n"] * 100) / 100
+        # non-Latin script blocks decide first (see class docstring);
+        # tie-break = hits desc, lang asc, same rule as language_scores
+        from lucille_spark.ml.textstats import script_hit_structs
+
+        sc = F.element_at(
+            F.array_sort(
+                F.array(*script_hit_structs(clipped)), lambda a, b:
+                F.when(a["hits"] > b["hits"], -1)
+                .when(a["hits"] < b["hits"], 1)
+                .when(a["lang"] < b["lang"], -1)
+                .when(a["lang"] > b["lang"], 1).otherwise(0)), 1)
+        n_chars = F.length(F.regexp_replace(clipped, r"\s", ""))
+        sc_conf = F.floor(sc["hits"] / n_chars * 100) / 100
+        script_hit = sc["hits"] > 0
+        pick_lang = F.when(script_hit, sc["lang"]).otherwise(best["lang"])
+        pick_conf = F.when(script_hit, sc_conf).otherwise(conf)
+        pick_hits = F.when(script_hit, sc["hits"]).otherwise(best["hits"])
         ok = ((F.length(text) >= self.min_length)
-              & (best["hits"] > 0)
-              & (conf >= self.min_probability))
-        df = self._set(df, self.lang_dest, F.when(ok, best["lang"]))
-        return self._set(df, self.conf_dest, F.when(ok, conf))
+              & (pick_hits > 0)
+              & (pick_conf >= self.min_probability))
+        df = self._set(df, self.lang_dest, F.when(ok, pick_lang))
+        return self._set(df, self.conf_dest, F.when(ok, pick_conf))
 
 
 # -------------------------------------------------------- drop/skip control
@@ -741,7 +782,16 @@ class ChunkText(Stage):
 
     Chunk modes: 'fixed' (N tokens per chunk), 'fixed_chars' (N characters,
     the reference's FIXED/splitBySize), 'paragraph' (consecutive line
-    breaks), 'sentence' ([.!?] boundaries), 'custom' (separator_regex).
+    breaks), 'sentence' ([.!?] boundaries, abbreviation-aware), 'custom'
+    (separator_regex).
+
+    Sentence mode approximates the reference's OpenNLP SentenceDetector
+    (ChunkText.java:137-206) with non-breaking rules compiled into the one
+    split regex (still pure JVM, no model): no break after a listed
+    abbreviation ("Dr.", "e.g.", "No." — see ``abbreviations``), after a
+    single-capital initial ("J. K. Rowling"), or inside decimals (no
+    whitespace follows the dot). Deviation documented in COVERAGE.md:
+    abbreviation-list coverage, not a trained model.
 
     Post-split pipeline, applied in the reference's exact order
     (ChunkText.java:199-228):
@@ -765,6 +815,19 @@ class ChunkText(Stage):
     overlap_k: Optional[int] = None   # chunksToOverlap (with merge_k)
     overlap_pct: int = 0          # overlapPercentage
     char_limit: int = 0           # characterLimit
+    # sentence-mode non-breaking abbreviations (honorifics, latinisms,
+    # months, reference markers); entries are matched case-sensitively
+    # right before the period. Dots inside entries are literal ("e.g").
+    abbreviations: Sequence[str] = (
+        "Dr", "Mr", "Mrs", "Ms", "Prof", "Sr", "Jr", "St", "Gen", "Rep",
+        "Sen", "Rev", "Hon", "Capt", "Lt", "Col", "Sgt",
+        "vs", "etc", "approx", "dept", "est", "min", "max",
+        "e.g", "i.e", "cf", "al", "Ph.D", "M.D", "B.A", "M.A", "D.C",
+        "U.S", "U.K", "No", "Fig", "fig", "Eq", "eq", "Vol", "vol",
+        "Ch", "ch", "Sec", "sec", "Inc", "Ltd", "Co", "Corp",
+        "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Sept",
+        "Oct", "Nov", "Dec", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat",
+        "Sun")
 
     def __post_init__(self):
         if self.merge_k < 1:
@@ -803,7 +866,20 @@ class ChunkText(Stage):
         elif self.mode == "custom":
             pat = self.separator_regex
         else:                                 # sentence
-            pat = r"(?<=[.!?])\s+"
+            import re as _re
+
+            # break after [.!?]+whitespace UNLESS the period closes a
+            # known abbreviation or a single-capital initial. Java regex
+            # allows bounded variable-length lookbehind, so the whole
+            # rule set compiles into the one split pattern (decimals need
+            # no rule: no whitespace follows the dot inside a number).
+            abbr = "|".join(sorted((_re.escape(a)
+                                    for a in self.abbreviations),
+                                   key=len, reverse=True))
+            guards = r"(?<![A-Z]\.)"
+            if abbr:
+                guards += rf"(?<!\b(?:{abbr})\.)"
+            pat = rf"(?<=[.!?]){guards}\s+"
         return F.filter(F.split(col, pat),
                         lambda x: F.trim(x) != F.lit(""))
 
@@ -1215,7 +1291,9 @@ class ExtractEntities(Stage):
     # (single-word entries) + a positional group-count for phrases — plan
     # size is O(1) in |dict| instead of one expression per entry. Auto-picks
     # above join_threshold entries (ExtractEntitiesFST territory); needs
-    # id_col and only_whole_words. use_join=True/False forces a mode.
+    # only_whole_words. Rows are keyed by a generated surrogate (id_col is
+    # unused in join mode — duplicate/null ids are safe, ADVICE r3).
+    # use_join=True/False forces a mode.
     use_join: Optional[bool] = None
     join_threshold: int = 256
     id_col: str = "id"
@@ -1264,15 +1342,14 @@ class ExtractEntities(Stage):
     def apply(self, df):
         join_mode = self.use_join
         if join_mode is None:
+            # no id_col requirement: the join path keys on a generated
+            # surrogate captured pre-explode (ADVICE r3 — duplicate or
+            # null user ids must not corrupt the reassembly)
             join_mode = (self.only_whole_words
-                         and len(self.dictionary) > self.join_threshold
-                         and self.id_col in df.columns)
+                         and len(self.dictionary) > self.join_threshold)
         if join_mode:
             if not self.only_whole_words:
                 raise ValueError("join mode requires only_whole_words")
-            if self.id_col not in df.columns:
-                raise ValueError(f"join mode requires id_col "
-                                 f"{self.id_col!r} on the frame")
             return self._apply_join(df)
         return self._apply_expr(df)
 
@@ -1330,7 +1407,16 @@ class ExtractEntities(Stage):
         over token arrays. Overlap suppression and first-match dedupe are
         joins/aggregations, so nothing here scales with |dict| except the
         broadcast table itself. Output is identical to the expression path
-        (payloads in dictionary order, first-occurrence dedupe)."""
+        (payloads in dictionary order, first-occurrence dedupe).
+
+        Rows are keyed by a GENERATED surrogate id captured before the
+        explode (ADVICE r3: joining back on a user id column silently
+        merged matches across rows with duplicate ids and dropped rows
+        with null ids). The surrogate is monotonically_increasing_id over
+        the same source plan on both sides of the rejoin — deterministic
+        for stable-order sources (file scans, createDataFrame); if the
+        input comes straight out of an order-unstable shuffle, persist it
+        first."""
         spark = df.sparkSession
         entries = list(self.dictionary)
         entry_terms = {e: self._entry_terms(e) for e in entries}
@@ -1346,9 +1432,10 @@ class ExtractEntities(Stage):
             rows, "entry_idx int, out_val string, term string, "
                   "term_idx int, n_terms int")
 
-        eid = F.col(self.id_col).alias("_eid")
-        tok_rows = df.select(
-            eid, F.posexplode(self._tokens_col()).alias("_pos", "term"))
+        base = df.withColumn("_ee_sid", F.monotonically_increasing_id())
+        tok_rows = base.select(
+            F.col("_ee_sid").alias("_eid"),
+            F.posexplode(self._tokens_col()).alias("_pos", "term"))
         hits = tok_rows.join(F.broadcast(dict_df), "term")
         single = (hits.filter(F.col("n_terms") == 1)
                   .select("_eid", "entry_idx", "out_val").distinct())
@@ -1386,13 +1473,14 @@ class ExtractEntities(Stage):
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("_fi", "out_val"))),
                    lambda s: s["out_val"]).alias("_ee_matched")))
-        res = df.join(agg.withColumnRenamed("_eid", self.id_col),
-                      self.id_col, "left")
+        res = base.join(agg.withColumnRenamed("_eid", "_ee_sid"),
+                        "_ee_sid", "left")
         matched_col = F.coalesce(F.col("_ee_matched"),
                                  F.array().cast("array<string>"))
         if self.stop_on_hit:
             matched_col = F.slice(matched_col, 1, 1)
-        return self._set(res, self.dest, matched_col).drop("_ee_matched")
+        return self._set(res, self.dest, matched_col) \
+            .drop("_ee_matched", "_ee_sid")
 
 
 @register_stage
@@ -2113,7 +2201,9 @@ class IndexLookup(Stage):
     table is the stored-fields store — so the lookup is one broadcast-able
     join against doc_stats on doc_id. Values are copied as strings
     (node.asText(), ElasticsearchLookup.java:113); missing index doc or
-    missing column -> dest stays null."""
+    missing column -> dest is written as NULL string, so every dest column
+    always exists with a stable schema (ADVICE r3: a silently-absent dest
+    broke downstream selects)."""
     index_dir: str = ""
     id_col: str = "id"
     source: Sequence[str] = ()   # doc_stats columns to fetch
@@ -2131,14 +2221,12 @@ class IndexLookup(Stage):
         stats = spark.read.parquet(ds_path)
         cols = [F.col("doc_id").alias("_il_id")]
         for s, d in zip(self.source, self.dest):
-            if s in stats.columns:
-                cols.append(F.col(s).cast("string").alias(f"_il_{d}"))
+            src = (F.col(s).cast("string") if s in stats.columns
+                   else F.lit(None).cast("string"))
+            cols.append(src.alias(f"_il_{d}"))
         lk = stats.select(*cols)
         rhs = F.broadcast(lk) if self.broadcast else lk
         out = df.join(rhs, df[self.id_col] == F.col("_il_id"), "left")
         for s, d in zip(self.source, self.dest):
-            if f"_il_{d}" in out.columns:
-                out = self._set(out, d, F.col(f"_il_{d}"))
-        return out.drop("_il_id",
-                        *[f"_il_{d}" for d in self.dest
-                          if f"_il_{d}" in out.columns])
+            out = self._set(out, d, F.col(f"_il_{d}"))
+        return out.drop("_il_id", *[f"_il_{d}" for d in self.dest])

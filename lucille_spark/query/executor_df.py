@@ -170,16 +170,27 @@ def search_batch(
     queries: List[Tuple[str, str]],
     k: int = 10,
     default_field: str = "content",
+    min_queries_per_task: int = 4,
 ) -> DataFrame:
     """Run a query batch distributed: (query_id, rank, doc_id, score).
 
     One WAND searcher per executor task; queries are the unit of parallelism
     (the index is shared storage, as in any search tier).
+
+    ``min_queries_per_task`` bounds the cold-searcher fan-out: a searcher
+    open (pyarrow dataset discovery + lexicon warm-up) costs far more than
+    one WAND query, so small batches are grouped rather than spread one
+    query per task — 30 queries open ~8 searchers, not 30. Large batches
+    still use every core (partitions = parallelism once the batch is big
+    enough), and warm workers skip the open entirely via the version-keyed
+    cache below.
     """
     import pandas as pd
 
     qdf = spark.createDataFrame(queries, "query_id string, query string")
-    n_part = min(len(queries), spark.sparkContext.defaultParallelism)
+    n_part = min(
+        max(1, len(queries) // max(min_queries_per_task, 1)),
+        spark.sparkContext.defaultParallelism)
 
     def run(batches):
         from lucille_spark.index.reader import read_meta

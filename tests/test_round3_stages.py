@@ -189,7 +189,9 @@ def test_apply_html_validation(spark):
         ApplyHTML(source="html", mapping={
             "o": {"selector": "a", "type": "attribute"}}).apply(df)
     with pytest.raises(ValueError):   # unsupported selector syntax
-        ApplyHTML(source="html", mapping={"o": "a > b"}).apply(df)
+        ApplyHTML(source="html", mapping={"o": "a + b"}).apply(df)
+    with pytest.raises(ValueError):   # dangling child combinator
+        ApplyHTML(source="html", mapping={"o": "a >"}).apply(df)
 
 
 # ------------------------------------------------------------ RSSConnector

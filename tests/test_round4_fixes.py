@@ -1,0 +1,331 @@
+"""Round-4 fixes: bounded fuzzy expansion, read-only reader recovery,
+non-Latin language ID, search_batch cold-fan-out bound, hash-ids dedup as
+the oracle-verified default (VERDICT r3 next-round items + ADVICE r3)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ fuzzy expansion is bounded
+def test_fuzzy_expansion_bounded_and_correct(index_dir):
+    """VERDICT r3 'What's wrong' #1: terms_fuzzy must not Levenshtein the
+    whole dictionary. The length band runs inside the Arrow scan and the
+    bag-distance prefilter cuts the survivors further; results must equal
+    the brute-force scan's closest-first list."""
+    from lucille_spark.index.reader import IndexReader
+    from lucille_spark.query.parser import levenshtein
+
+    rd = IndexReader(index_dir)
+    lex = rd._lexicon.to_table(columns=["term", "field"])
+    all_terms = [t for t, f in zip(lex["term"].to_pylist(),
+                                   lex["field"].to_pylist())
+                 if f == "content"]
+    n_lexicon = len(all_terms)
+    assert n_lexicon > 20
+
+    for q, max_edits in [("return", 1), ("import", 2), ("class", 1)]:
+        got = rd.terms_fuzzy("content", q, max_edits=max_edits, limit=50)
+        brute = sorted(
+            (levenshtein(q, t, cap=max_edits), t) for t in set(all_terms)
+            if levenshtein(q, t, cap=max_edits) <= max_edits)
+        assert got == [t for _, t in brute[:50]], q
+        stats = rd._fuzzy_stats
+        # the length band must exclude a decent share of the dictionary,
+        # and the DP only runs on bag-distance survivors
+        assert stats["banded"] < n_lexicon
+        assert stats["bag_survivors"] <= stats["banded"]
+        assert stats["bag_survivors"] <= max(10, n_lexicon // 2), (
+            q, stats, n_lexicon)
+
+
+# ---------------------------------------- reader recovery is read-only
+def test_reader_opens_aside_lexicon_without_mutating(index_dir, tmp_path):
+    """ADVICE r3 (medium): IndexReader construction must never rename or
+    delete in the index dir — a reader opening during a live merge's swap
+    window would otherwise break the merge. With lexicon renamed aside
+    (crash-mid-swap state) the reader opens lexicon_old READ-ONLY and the
+    directory layout is untouched afterwards."""
+    from lucille_spark.index.reader import IndexReader, recover_lexicon
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_dir, idx)
+    os.rename(os.path.join(idx, "lexicon"), os.path.join(idx, "lexicon_old"))
+
+    rd = IndexReader(idx)
+    assert rd.term_info("content", "return") is not None
+    # read-only: nothing restored, nothing deleted
+    assert not os.path.exists(os.path.join(idx, "lexicon"))
+    assert os.path.isdir(os.path.join(idx, "lexicon_old"))
+
+    # the WRITER-side recovery still restores the layout
+    recover_lexicon(idx)
+    assert os.path.isdir(os.path.join(idx, "lexicon"))
+    assert not os.path.exists(os.path.join(idx, "lexicon_old"))
+    rd2 = IndexReader(idx)
+    assert rd2.term_info("content", "return") is not None
+
+
+def test_two_readers_concurrent_open_aside(index_dir, tmp_path):
+    """Two readers opening the aside-lexicon state concurrently must both
+    succeed (the old in-__init__ recovery could race renames)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lucille_spark.index.reader import IndexReader
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(index_dir, idx)
+    os.rename(os.path.join(idx, "lexicon"), os.path.join(idx, "lexicon_old"))
+
+    def open_one(_):
+        rd = IndexReader(idx)
+        return rd.term_info("content", "return") is not None
+
+    with ThreadPoolExecutor(4) as ex:
+        assert all(ex.map(open_one, range(4)))
+
+
+# ------------------------------------------------ non-Latin language ID
+LANG_FIXTURES = [
+    ("这是一个用于测试的中文文档包含很多汉字", "zh"),
+    ("これはテストのための日本語の文書です", "ja"),
+    ("이것은테스트를위한한국어문서입니다", "ko"),
+    ("هذا مستند باللغة العربية للاختبار", "ar"),
+    ("זהו מסמך בעברית לבדיקה", "he"),
+    ("Это русский документ для тестирования", "ru"),
+    ("Αυτό είναι ελληνικό έγγραφο για δοκιμή", "el"),
+    ("the quick brown fox and the lazy dog in the field", "en"),
+    ("日本語の文書テスト済み", "ja"),   # kanji-heavy, kana present
+]
+
+
+def test_detect_language_scripts(spark):
+    """VERDICT r3 #5: non-Latin scripts via Unicode block counts — zh/ja/
+    ko/ar/ru/he/el detected, kana disambiguates ja from zh, Latin falls
+    back to the stopword profiles."""
+    from lucille_spark.pipeline.stages import DetectLanguage
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(LANG_FIXTURES)],
+        "doc_id long, text string")
+    out = DetectLanguage(source="text", min_length=5).apply(df)
+    got = {r.doc_id: (r.language, r.language_confidence)
+           for r in out.collect()}
+    for i, (_, want) in enumerate(LANG_FIXTURES):
+        lang, conf = got[i]
+        assert lang == want, (i, lang, want)
+        assert conf is not None and conf > 0.0
+
+
+def test_language_scores_scripts(spark):
+    from lucille_spark.ml.textstats import language_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(LANG_FIXTURES)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.predicted
+           for r in language_scores(df, "doc_id", "text").collect()}
+    for i, (_, want) in enumerate(LANG_FIXTURES):
+        assert got[i] == want, (i, got[i], want)
+
+
+# ------------------------------------- search_batch cold fan-out bound
+def test_search_batch_groups_small_batches(spark, index_dir):
+    """VERDICT r3 'What's wrong' #3: a 30-query batch must not open 30
+    cold searchers — queries are grouped to >=min_queries_per_task per
+    task. Results stay identical to per-query search."""
+    from lucille_spark.query.executor_df import search_batch
+    from lucille_spark.query.searcher import IndexSearcher
+
+    queries = [(f"q{i}", "content:return OR content:import")
+               for i in range(30)]
+    df = search_batch(spark, index_dir, queries, k=5)
+    assert df.rdd.getNumPartitions() <= 8  # 30 queries / 4 per task
+    got = df.collect()
+    assert len(got) == 30 * 5
+    searcher = IndexSearcher(index_dir, "content")
+    want = searcher.search("content:return OR content:import", 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    for qid, rows in by_q.items():
+        assert [d for _, d in sorted(rows)] == [d for d, _ in want], qid
+
+
+# --------------------------- hash-ids dedup is the default and joinless
+def test_dedup_defaults_are_joinless(spark):
+    from lucille_spark.ml.dedup import minhash_signatures, simhash
+    from lucille_spark.ml.textstats import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id long, text string")
+    for fn in (lambda: minhash_signatures(df, "doc_id", "text", 8),
+               lambda: simhash(df, "doc_id", "text"),
+               lambda: fingerprints(df, "doc_id", "text")):
+        plan = fn()._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan
+
+
+# -------------------------------------- ApplyHTML selector upgrades (r4)
+def test_htmlsel_child_combinator_and_classlist():
+    from lucille_spark.pipeline.htmlsel import select_html
+
+    html = """
+    <div id="top"><p>direct</p>
+      <section><p>nested</p></section>
+    </div>
+    <p>outside</p>
+    """
+    assert select_html(html, "#top > p") == ["direct"]
+    assert select_html(html, "#top p") == ["direct", "nested"]
+    assert select_html(html, "div>p") == ["direct"]  # no-space syntax
+
+    # backtracking: greedy nearest-ancestor would bind B to the inner div
+    # (whose parent is not A) and wrongly reject the match
+    tricky = ('<div class="a"><div class="b"><div class="x">'
+              '<div class="b"><span>hit</span></div></div></div></div>')
+    assert select_html(tricky, ".a > .b span") == ["hit"]
+
+    # [attr~=value]: class-list word matching vs exact [attr=value]
+    multi = ('<a class="btn primary" href="u1">one</a>'
+             '<a class="btn" href="u2">two</a>')
+    assert select_html(multi, "[class~=primary]", "attribute",
+                       "href") == ["u1"]
+    assert select_html(multi, "[class=btn]", "attribute", "href") == ["u2"]
+    assert select_html(multi, "[class~=btn]", "attribute",
+                       "href") == ["u1", "u2"]
+
+
+def test_htmlsel_child_combinator_validation():
+    from lucille_spark.pipeline.htmlsel import parse_selector
+
+    with pytest.raises(ValueError):
+        parse_selector("> p")
+    with pytest.raises(ValueError):
+        parse_selector("a > > b")
+    with pytest.raises(ValueError):
+        parse_selector("a >")
+    chain = parse_selector("div > p.note span")
+    assert [c for _, c in chain] == [None, "child", "descendant"]
+
+
+# ------------------------------- ChunkText abbreviation-aware sentences
+def test_chunk_sentence_abbreviations(spark):
+    """VERDICT r3 #7: sentence mode must not split after honorifics,
+    initials, or latinisms (approximating OpenNLP's SentenceDetector)."""
+    from lucille_spark.pipeline.stages import ChunkText
+
+    text = ("Dr. Smith met J. K. Rowling at 3.14 Main St. yesterday. "
+            "They discussed e.g. chunking. It went well! Prof. Jones "
+            "joined later. The end.")
+    from lucille_spark.pipeline.conditions import CHILDREN
+
+    df = spark.createDataFrame([("d1", text)], "id string, text string")
+    out = ChunkText(source="text", id_col="id", mode="sentence").apply(df)
+    row = out.select(CHILDREN).collect()[0][0]
+    chunks = [c["chunk_text"] for c in row]
+    assert chunks == [
+        "Dr. Smith met J. K. Rowling at 3.14 Main St. yesterday.",
+        "They discussed e.g. chunking.",
+        "It went well!",
+        "Prof. Jones joined later.",
+        "The end.",
+    ], chunks
+
+
+def test_chunk_sentence_plain_still_splits(spark):
+    from lucille_spark.pipeline.stages import ChunkText
+
+    from lucille_spark.pipeline.conditions import CHILDREN
+
+    df = spark.createDataFrame(
+        [("d1", "One here. Two there? Three now!")],
+        "id string, text string")
+    out = ChunkText(source="text", id_col="id", mode="sentence").apply(df)
+    got = [c["chunk_text"] for c in out.select(CHILDREN).collect()[0][0]]
+    assert got == ["One here.", "Two there?", "Three now!"]
+
+
+# ------------------------------ Kafka topology construction (mock, r4 #8)
+class _KafkaRec:
+    """Fluent-API recorder standing in for readStream/DataFrame/writeStream
+    — the sandbox has no kafka jar or broker (dated waiver in
+    streaming/ingest.py), so the exact reader topology from_kafka builds
+    is asserted against this mock instead."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def format(self, f):
+        self.log.append(("format", f))
+        return self
+
+    def option(self, k, v):
+        self.log.append(("option", k, v))
+        return self
+
+    def load(self):
+        self.log.append(("load",))
+        return self
+
+    def select(self, *cols):
+        self.log.append(("select", tuple(str(c) for c in cols)))
+        return self
+
+    @property
+    def writeStream(self):
+        self.log.append(("writeStream",))
+        return self
+
+    def foreachBatch(self, fn):
+        self.log.append(("foreachBatch", callable(fn)))
+        return self
+
+    def trigger(self, **kw):
+        self.log.append(("trigger", kw))
+        return self
+
+    def start(self):
+        self.log.append(("start",))
+        return self
+
+    def awaitTermination(self):
+        self.log.append(("awaitTermination",))
+
+
+def test_kafka_topology_construction(spark, tmp_path):
+    # `spark` fixture: F.from_json needs an active SparkContext even
+    # though the mock never executes anything
+    from types import SimpleNamespace
+
+    from lucille_spark.streaming.ingest import StreamingIngest
+
+    log = []
+    rec = _KafkaRec(log)
+    si = StreamingIngest.__new__(StreamingIngest)
+    si.spark = SimpleNamespace(readStream=rec)
+    si.pipeline = None
+    si.sink = None
+    si.checkpoint_dir = str(tmp_path / "ckpt")
+    si.metrics_dir = None
+    si.run_id = "t"
+    si.failed_dir = None
+
+    si.from_kafka("broker:9092", "docs", "id string, text string",
+                  starting_offsets="latest", available_now=True)
+
+    assert ("format", "kafka") in log
+    assert ("option", "kafka.bootstrap.servers", "broker:9092") in log
+    assert ("option", "subscribe", "docs") in log
+    assert ("option", "startingOffsets", "latest") in log
+    # value parsed as JSON then flattened
+    selects = [x for x in log if x[0] == "select"]
+    assert "from_json" in selects[0][1][0] and "value" in selects[0][1][0]
+    assert selects[1][1] == ("doc.*",)
+    assert ("option", "checkpointLocation", si.checkpoint_dir) in log
+    assert ("foreachBatch", True) in log
+    assert ("trigger", {"availableNow": True}) in log
+    assert log[-1] == ("awaitTermination",)
