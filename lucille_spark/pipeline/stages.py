@@ -503,9 +503,10 @@ class DictionaryLookup(Stage):
     ``join_threshold`` entries the lookup switches to a broadcast hash
     JOIN against a dictionary DataFrame (plan size O(1) in |dict|, the
     ExtractEntitiesFST-scale story): scalar columns join directly; array
-    columns posexplode, join, and reassemble in element order, keyed by a
-    generated surrogate row id (``id_col`` is NOT used for the rejoin —
-    duplicate/null user ids are safe). ``set_only`` (the reference's
+    columns posexplode, join, and reassemble in element order, keyed by
+    ``id_col`` when present (ids must be UNIQUE — the reference's Document
+    contract; null-id rows get null/empty results) or by a surrogate over
+    a lazily checkpointed base when absent. ``set_only`` (the reference's
     setOnly boolean) stays on
     the expression path — its literal is ONE flat array node, and its
     three-valued null semantics (false beats null beats true) don't
@@ -551,24 +552,32 @@ class DictionaryLookup(Stage):
                           F.col(self.source) == F.col("_dl_term"), "left")
             return self._set(res, self.dest, F.col("_dl_payload")) \
                 .drop("_dl_term", "_dl_payload")
-        # surrogate row id captured pre-explode (ADVICE r3): duplicate or
-        # null user ids would otherwise interleave both rows' elements in
-        # the positional reassembly below
-        base = df.withColumn("_dl_sid", F.monotonically_increasing_id())
-        ex = base.select(F.col("_dl_sid").alias("_dl_id"),
+        # rejoin key (ADVICE r3): id_col when present — ids must be
+        # unique (the reference's Document contract); otherwise a
+        # surrogate over a lazily checkpointed base (a nondeterministic
+        # surrogate recomputed per subtree can diverge when the upstream
+        # plan contains joins)
+        if self.id_col in df.columns:
+            base, key = df, self.id_col
+        else:
+            base = df.withColumn(
+                "_dl_sid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+            key = "_dl_sid"
+        ex = base.select(F.col(key).alias("_dl_id"),
                          F.posexplode(F.col(self.source)).alias("_p", "_dl_term"))
         j = ex.join(F.broadcast(ddf), "_dl_term")
         agg = (j.groupBy("_dl_id")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("_p", "_dl_payload"))),
                    lambda s: s["_dl_payload"]).alias("_dl_out")))
-        res = base.join(agg.withColumnRenamed("_dl_id", "_dl_sid"),
-                        "_dl_sid", "left")
+        res = base.join(agg.withColumnRenamed("_dl_id", key), key, "left")
         # expr-mode parity: null source -> null; no matches -> empty array
         out = F.when(F.col(self.source).isNull(),
                      F.lit(None).cast("array<string>")).otherwise(
             F.coalesce(F.col("_dl_out"), F.array().cast("array<string>")))
-        return self._set(res, self.dest, out).drop("_dl_out", "_dl_sid")
+        res = self._set(res, self.dest, out).drop("_dl_out")
+        return res.drop("_dl_sid") if key == "_dl_sid" else res
 
 
 @register_stage
@@ -1291,8 +1300,9 @@ class ExtractEntities(Stage):
     # (single-word entries) + a positional group-count for phrases — plan
     # size is O(1) in |dict| instead of one expression per entry. Auto-picks
     # above join_threshold entries (ExtractEntitiesFST territory); needs
-    # only_whole_words. Rows are keyed by a generated surrogate (id_col is
-    # unused in join mode — duplicate/null ids are safe, ADVICE r3).
+    # only_whole_words. Rows are keyed by id_col when present (unique ids
+    # required — the reference's Document contract) or by a surrogate over
+    # a lazily checkpointed base when absent (ADVICE r3).
     # use_join=True/False forces a mode.
     use_join: Optional[bool] = None
     join_threshold: int = 256
@@ -1342,9 +1352,8 @@ class ExtractEntities(Stage):
     def apply(self, df):
         join_mode = self.use_join
         if join_mode is None:
-            # no id_col requirement: the join path keys on a generated
-            # surrogate captured pre-explode (ADVICE r3 — duplicate or
-            # null user ids must not corrupt the reassembly)
+            # id_col no longer gates auto-enable: frames without an id
+            # column use the checkpointed-surrogate key (ADVICE r3)
             join_mode = (self.only_whole_words
                          and len(self.dictionary) > self.join_threshold)
         if join_mode:
@@ -1409,14 +1418,17 @@ class ExtractEntities(Stage):
         broadcast table itself. Output is identical to the expression path
         (payloads in dictionary order, first-occurrence dedupe).
 
-        Rows are keyed by a GENERATED surrogate id captured before the
-        explode (ADVICE r3: joining back on a user id column silently
-        merged matches across rows with duplicate ids and dropped rows
-        with null ids). The surrogate is monotonically_increasing_id over
-        the same source plan on both sides of the rejoin — deterministic
-        for stable-order sources (file scans, createDataFrame); if the
-        input comes straight out of an order-unstable shuffle, persist it
-        first."""
+        Row keying for the rejoin (ADVICE r3): when ``id_col`` exists it
+        is the key — REQUIREMENT: ids must be unique, which is the
+        reference's own Document contract (Document ids are the primary
+        key throughout lucille); duplicate ids would merge matches across
+        rows, and null-id rows get empty results. When the frame has no
+        id column, a monotonically_increasing_id surrogate is captured
+        pre-explode over a LAZILY CHECKPOINTED base — the checkpoint
+        makes both sides of the rejoin read the same materialized rows,
+        because a nondeterministic surrogate recomputed per subtree can
+        diverge when the upstream plan contains joins (AQE may lay out
+        partitions differently per evaluation; observed in round 4)."""
         spark = df.sparkSession
         entries = list(self.dictionary)
         entry_terms = {e: self._entry_terms(e) for e in entries}
@@ -1432,9 +1444,15 @@ class ExtractEntities(Stage):
             rows, "entry_idx int, out_val string, term string, "
                   "term_idx int, n_terms int")
 
-        base = df.withColumn("_ee_sid", F.monotonically_increasing_id())
+        if self.id_col in df.columns:
+            base, key = df, self.id_col
+        else:
+            base = df.withColumn(
+                "_ee_sid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+            key = "_ee_sid"
         tok_rows = base.select(
-            F.col("_ee_sid").alias("_eid"),
+            F.col(key).alias("_eid"),
             F.posexplode(self._tokens_col()).alias("_pos", "term"))
         hits = tok_rows.join(F.broadcast(dict_df), "term")
         single = (hits.filter(F.col("n_terms") == 1)
@@ -1473,14 +1491,13 @@ class ExtractEntities(Stage):
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("_fi", "out_val"))),
                    lambda s: s["out_val"]).alias("_ee_matched")))
-        res = base.join(agg.withColumnRenamed("_eid", "_ee_sid"),
-                        "_ee_sid", "left")
+        res = base.join(agg.withColumnRenamed("_eid", key), key, "left")
         matched_col = F.coalesce(F.col("_ee_matched"),
                                  F.array().cast("array<string>"))
         if self.stop_on_hit:
             matched_col = F.slice(matched_col, 1, 1)
-        return self._set(res, self.dest, matched_col) \
-            .drop("_ee_matched", "_ee_sid")
+        res = self._set(res, self.dest, matched_col).drop("_ee_matched")
+        return res.drop("_ee_sid") if key == "_ee_sid" else res
 
 
 @register_stage

@@ -137,11 +137,15 @@ def test_extract_entities_join_plan_size_bounded(spark):
     assert "Broadcast" in plan
 
 
-def test_extract_entities_join_requires_id(spark):
-    df = spark.createDataFrame([("x",)], "text string")
+def test_extract_entities_join_without_id(spark):
+    """r4: frames with NO id column work in join mode via a surrogate key
+    over a lazily checkpointed base (previously a ValueError)."""
+    df = spark.createDataFrame(
+        [("the hash join wins",), ("nothing here",)], "text string")
     st = ExtractEntities(source="text", dictionary=DICT, use_join=True)
-    with pytest.raises(ValueError):
-        st.apply(df)
+    out = {r.text: list(r.entities) for r in st.apply(df).collect()}
+    assert out["nothing here"] == []
+    assert len(out["the hash join wins"]) >= 1
 
 
 # ------------------------------------------------ crash-safe lexicon swap
