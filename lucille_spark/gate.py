@@ -1579,6 +1579,72 @@ def ann_near_dup_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _ann_near_dup_lsh_sql(n_planes: int = 8, dim: int = 64, seed: int = 7,
+                          threshold: float = 0.3) -> str:
+    """DuckDB oracle for the UNBLOCKED embedding near-dup scale path:
+    deterministic hyperplanes inlined as literals, SRP bucket id per
+    vector (bit-sum of dot-product signs), self-join on bucket equality,
+    exact cosine verify — the same two-phase shape as the MinHash LSH
+    oracle, no label column anywhere."""
+    from lucille_spark.ml.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes, dim, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+            for p in range(n_planes)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << p} "
+        "ELSE 0 END)"
+        for p, lit in enumerate(lits))
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket}) AS bk FROM d)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, x.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(x.v, x.v))), 4) AS cosine
+FROM b a JOIN b x ON a.bk = x.bk AND a.vec_id < x.vec_id
+WHERE list_dot_product(a.v, x.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(x.v, x.v))) >= {threshold}
+"""
+
+
+@register("ann_near_dup_lsh", sql=_ann_near_dup_lsh_sql())
+def ann_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup WITHOUT blocking (the 100-TB shape): SRP-LSH
+    bucket collision -> candidate pairs (one shuffle on the bucket id,
+    never a cross product) -> exact cosine verify on candidates only
+    (ml/similarity.near_dup_pairs_lsh). Complements `ann_near_dup_pairs`
+    (label-blocked exact), which is the recall ground truth."""
+    from lucille_spark.ml.similarity import near_dup_pairs_lsh
+
+    pairs = near_dup_pairs_lsh(_emb(spark, sf_dir), "vec_id", "embedding",
+                               threshold=0.3, n_planes=8)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 4).alias("cosine"))
+
+
+@register("text_pack_sequences", sql=f"""
+WITH {_TOKS_CTE},
+t AS (SELECT doc_id, lang AS part, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM toks)
+SELECT doc_id, part, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 500.0) AS BIGINT) AS pack_id
+FROM t
+""")
+def text_pack_sequences(spark, sf_dir):
+    """Context packing for training pipelines: docs assigned to ~500-token
+    packs per language shard (streaming-with-overflow boundary rule, exact
+    integer cumsum — ml/textstats.pack_sequences). The per-shard window is
+    the scale story: one shuffle on the shard key, no global sort."""
+    from lucille_spark.ml.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), "doc_id", "text",
+                          budget_tokens=500, part_col="lang")
+
+
 @register("bm25_fielded", sql=f"""
 WITH {_TOKS_CTE},
 d AS (
@@ -1747,3 +1813,15 @@ def multimodal_features(spark, sf_dir):
                         lambda x: F.floor(x.cast("double") * 1e7
                                           + F.lit(0.5)).cast("long")
                         .cast("string")), "_").alias("feature"))
+
+
+@register("zz_registry_sentinel", sql="""
+SELECT CAST(1 AS BIGINT) AS one, 'sentinel' AS tag
+""")
+def zz_registry_sentinel(spark, sf_dir):
+    """Intentionally the LAST registry entry, and intentionally trivial:
+    CORRECTNESS_r03 recorded 50/51 entries with exactly the then-last one
+    missing, so if the driver's harness drops the final entry again the
+    only casualty is this canary — and its absence from CORRECTNESS_r04
+    confirms the off-by-one hypothesis. Costs one row to evaluate."""
+    return spark.sql("SELECT CAST(1 AS BIGINT) AS one, 'sentinel' AS tag")

@@ -98,6 +98,45 @@ def cosine_topk_lsh(df: DataFrame, query_vec: Sequence[float], id_col: str,
     return cosine_topk(cands, query_vec, id_col, vec_col, k, score_decimals)
 
 
+def near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                       threshold: float, n_planes: int = 8, seed: int = 7,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs WITHOUT a blocking column — the
+    100-TB shape: SRP bucket collision generates candidates (one shuffle
+    keyed on the 2^n_planes-ary bucket id, never a cross product), then
+    exact cosine verifies candidates only. (id_a, id_b, cosine).
+
+    Recall < 1 by construction: a pair at angle theta collides with
+    probability (1 - theta/pi)^n_planes, so high-cosine pairs nearly
+    always share all sign bits while unrelated vectors rarely do — same
+    dial as the MinHash band construction (ml/dedup.py). Pair with
+    pairwise_cosine_block on a label for ground truth. ``max_bucket_size``
+    drops degenerate buckets from candidate generation (the hot-bucket
+    guard, mirroring lsh_candidate_pairs)."""
+    first = df.select(_as_double(F.col(vec_col)).alias("v")).first()
+    dim = len(first["v"]) if first else 0
+    planes = hyperplanes(n_planes, dim, seed)
+    base = df.select(F.col(id_col).alias("vid"),
+                     _as_double(F.col(vec_col)).alias("v"),
+                     srp_bucket(F.col(vec_col), planes).alias("_b"))
+    if max_bucket_size is not None:
+        hot = (base.groupBy("_b").agg(F.count("*").alias("_n"))
+               .filter(F.col("_n") > max_bucket_size).select("_b"))
+        base = base.join(F.broadcast(hot), "_b", "left_anti")
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (a.join(b, "_b")
+             .filter(F.col("a.vid") < F.col("b.vid")))
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v"))))
+    return (pairs.select(F.col("a.vid").alias("id_a"),
+                         F.col("b.vid").alias("id_b"),
+                         cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+    # no distinct needed: each vector has exactly one bucket, so a pair
+    # can collide at most once — unlike banded MinHash LSH
+
+
 def pairwise_cosine_block(df: DataFrame, id_col: str, vec_col: str,
                           block_col: str, threshold: float) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking key:

@@ -89,6 +89,38 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str,
          % F.lit(FP_P)).cast("long").alias("fingerprint"))
 
 
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   budget_tokens: int, part_col: Optional[str] = None
+                   ) -> DataFrame:
+    """Training-data context packing: assign documents (in id order) to
+    packs of ~``budget_tokens`` tokens — (doc_id, n_tokens, pack_id[,
+    part]). The boundary rule is streaming-with-overflow: a document
+    joins the pack where its tokens START (pack_id = floor(cum_before /
+    budget)), so packs can exceed the budget by at most one document's
+    tail; docs longer than the budget own consecutive pack ids. This is
+    deterministic integer arithmetic (exact cumsum, no greedy reset
+    state), so an external SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: ``part_col`` (e.g. lang or a shard key) bounds every
+    window to one partition's rows — packing runs per shard with one
+    shuffle on the shard key, never a global sort. Omit it only for
+    small corpora (a single global Window.orderBy is a one-partition
+    sort, the same scale caveat as dense token dictionaries)."""
+    toks = F.size(tokenize_col(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     *( [F.col(part_col).alias("part")] if part_col else []),
+                     toks.alias("n_tokens"))
+    w = (Window.partitionBy("part") if part_col else Window.partitionBy()) \
+        .orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    out_cols = ["doc_id"] + (["part"] if part_col else []) + ["n_tokens"]
+    return base.select(
+        *out_cols,
+        F.floor(cum_before / F.lit(budget_tokens)).cast("long")
+        .alias("pack_id"))
+
+
 LANG_PROFILES: Dict[str, Sequence[str]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is"),
     "de": ("der", "die", "das", "und", "ist", "nicht"),

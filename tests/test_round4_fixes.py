@@ -329,3 +329,85 @@ def test_kafka_topology_construction(spark, tmp_path):
     assert ("foreachBatch", True) in log
     assert ("trigger", {"availableNow": True}) in log
     assert log[-1] == ("awaitTermination",)
+
+
+# --------------------------------------- --py-files packaging (north rule)
+def test_make_pyfiles_zip_deterministic(tmp_path):
+    """spark-submit --py-files deployment: the package zip is complete,
+    importable, and byte-deterministic (content-addressable deploys)."""
+    import sys
+    import zipfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_pyfiles_zip import build
+
+    z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    n1, n2 = build(z1), build(z2)
+    assert n1 == n2 > 30
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    names = zipfile.ZipFile(z1).namelist()
+    assert "lucille_spark/__init__.py" in names
+    assert "lucille_spark/index/builder.py" in names
+    assert not any("__pycache__" in n or n.startswith("tests") for n in names)
+
+
+# ------------------------------ embedding near-dup via LSH (no blocking)
+def test_near_dup_pairs_lsh_recall_and_shape(spark):
+    """SRP-bucket candidate pairs + exact cosine verify must recover the
+    planted near-identical pair without any blocking column, and the plan
+    must contain no cross product."""
+    import numpy as np
+
+    from lucille_spark.ml.similarity import near_dup_pairs_lsh
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 16))
+    vecs[41] = vecs[40] * 0.95 + 0.005   # near-dup pair (cos ~ 1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    pairs = near_dup_pairs_lsh(df, "vec_id", "embedding", threshold=0.9,
+                               n_planes=6)
+    got = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert (40, 41) in got and got[(40, 41)] > 0.99
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in plan and "CrossJoin" not in plan
+
+    # hot-bucket cap drops degenerate buckets
+    clones = spark.createDataFrame(
+        [(i, [1.0] * 16) for i in range(30)] +
+        [(100, [float(x) for x in vecs[40]]),
+         (101, [float(x) for x in vecs[41]])],
+        "vec_id long, embedding array<double>")
+    capped = near_dup_pairs_lsh(clones, "vec_id", "embedding",
+                                threshold=0.9, n_planes=6,
+                                max_bucket_size=5)
+    got2 = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got2
+    assert not any(a < 30 and b < 30 for a, b in got2)  # clique dropped
+
+
+# --------------------------------------------- sequence packing (budget)
+def test_pack_sequences_streaming_overflow(spark):
+    from lucille_spark.ml.textstats import pack_sequences
+
+    rows = [(1, "a", "w " * 40), (2, "a", "w " * 40), (3, "a", "w " * 40),
+            (4, "a", "w " * 250), (5, "a", "w " * 10),
+            (6, "b", "w " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: (r.part, r.n_tokens, r.pack_id)
+           for r in pack_sequences(df, "doc_id", "text", 100,
+                                   part_col="lang").collect()}
+    # cum_before per doc (lang a): 0, 40, 80, 120, 370
+    assert out[1] == ("a", 40, 0)
+    assert out[2] == ("a", 40, 0)
+    assert out[3] == ("a", 40, 0)   # starts at 80, overflows pack 0
+    assert out[4] == ("a", 250, 1)  # starts at 120
+    assert out[5] == ("a", 10, 3)   # starts at 370
+    assert out[6] == ("b", 5, 0)    # separate shard restarts packing
+
+    # partitioned mode must not contain a single-partition global sort
+    plan = pack_sequences(df, "doc_id", "text", 100, part_col="lang") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -20,6 +20,15 @@ Env knobs:
                      not JVM cold-start.
   BENCH_SKIP_QUERIES=1   skip the WAND latency section.
   BENCH_EXECUTORS=k      multi-JVM local-cluster mode (k executors x 4 cores).
+  BENCH_INTERLEAVE=1     command-loop mode for phase-robust scaling pairs:
+                     after warmup print READY, then serve "RUN" commands
+                     on stdin (one fresh timed build each, answer
+                     "TIME <sec>") until "EXIT". bench.py keeps BOTH
+                     parallelism levels' JVMs alive and alternates builds
+                     between them, so each epoch's low/high pair samples
+                     the SAME VM bandwidth phase — the r4 fix for the
+                     ratio bias when the two levels were measured minutes
+                     apart and a slow phase hit only the 8-core side.
 """
 
 from __future__ import annotations
@@ -120,6 +129,36 @@ def main():
                             wdir, fields=("content",), store_positions=True)
             finally:
                 shutil.rmtree(wdir, ignore_errors=True)
+
+        if os.environ.get("BENCH_INTERLEAVE") == "1":
+            # phase-robust pair mode: the parent alternates RUN commands
+            # between this worker and its counterpart at the other
+            # parallelism level (see module docstring)
+            print("READY", flush=True)
+            build_secs = []
+            stats = None
+            for line in sys.stdin:
+                cmd = line.strip()
+                if cmd == "RUN":
+                    shutil.rmtree(out, ignore_errors=True)
+                    t0 = time.time()
+                    stats = build_index(corpus, out, fields=("content",),
+                                        store_positions=True)
+                    build_secs.append(round(time.time() - t0, 3))
+                    print(f"TIME {build_secs[-1]}", flush=True)
+                elif cmd == "EXIT":
+                    break
+            import statistics
+
+            n = (stats["n_docs"] if n_docs_actual is None and stats
+                 else n_docs_actual)
+            med = statistics.median(build_secs) if build_secs else 0.0
+            print(json.dumps({
+                "cpus": cpus, "n_docs": n,
+                "build_sec": round(med, 3), "build_secs": build_secs,
+                "docs_per_sec": round(n / med, 1) if med else 0.0,
+            }), flush=True)
+            return
 
         # wall-clock budget (seconds for this worker, incl. warmup): runs
         # beyond the 3rd are opportunistic — the north rule needs medians
