@@ -407,6 +407,48 @@ def wand_fuzzy_top10(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id string, rank long, score double")
 
 
+_WAND_RANGE_SQL = _WAND_PREFIX_SQL.replace(
+    "WHERE t LIKE 's%' ORDER BY term LIMIT 128",
+    "WHERE t >= 'filter' AND t <= 'key' ORDER BY term LIMIT 128")
+
+
+@register("wand_range_top10", sql=_WAND_RANGE_SQL)
+def wand_range_top10(spark, sf_dir):
+    """TermRangeQuery through the FULL engine path: `content:[filter TO
+    key]` expands against the term-sorted lexicon with the bounds pushed
+    into the Arrow scan (row-group-pruned range seek), then scores as a
+    boolean OR under block-max WAND — vs the same relational range
+    expansion in SQL."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    hits = IndexSearcher(idx).search("content:[filter TO key]", k=10)
+    rows = [(doc_id, i + 1, round(score, 4))
+            for i, (doc_id, score) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id string, rank long, score double")
+
+
+_WAND_WILDCARD_SQL = _WAND_PREFIX_SQL.replace(
+    "WHERE t LIKE 's%' ORDER BY term LIMIT 128",
+    r"WHERE regexp_matches(t, '^s.a.*$') ORDER BY term LIMIT 128")
+
+
+@register("wand_wildcard_top10", sql=_WAND_WILDCARD_SQL)
+def wand_wildcard_top10(spark, sf_dir):
+    """WildcardQuery through the FULL engine path: `content:s?a*` — the
+    literal prefix 's' prunes the lexicon scan to its range, the residual
+    `?`/`*` pattern matches via one compiled regex, then the expansion
+    scores as a boolean OR under block-max WAND (matches scan/small/spark
+    on this corpus) — vs the equivalent regexp expansion in SQL."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    hits = IndexSearcher(idx).search("content:s?a*", k=10)
+    rows = [(doc_id, i + 1, round(score, 4))
+            for i, (doc_id, score) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id string, rank long, score double")
+
+
 _WAND_BOOST_SQL = _WAND_SQL.replace(
     """0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
          * (tf_0 /""",

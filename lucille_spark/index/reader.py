@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -174,6 +175,45 @@ class IndexReader:
         terms = sorted(x for x in t["term"].to_pylist()
                        if x.startswith(prefix))
         return terms[:limit]
+
+    def terms_in_range(self, field: str, lower: Optional[str],
+                       upper: Optional[str], include_lower: bool = True,
+                       include_upper: bool = True,
+                       limit: int = 1024) -> List[str]:
+        """Dictionary terms in the lexicographic range, ascending, capped
+        — TermRangeQuery's expansion. The bounds push straight into the
+        Arrow scan over the term-sorted lexicon (row-group pruning), the
+        same seek the prefix scan does."""
+        f = ds.field("term")
+        cond = ds.field("field") == field
+        if lower is not None:
+            cond = cond & (f >= lower if include_lower else f > lower)
+        if upper is not None:
+            cond = cond & (f <= upper if include_upper else f < upper)
+        t = self._lexicon.to_table(filter=cond, columns=["term"])
+        return sorted(t["term"].to_pylist())[:limit]
+
+    def terms_wildcard(self, field: str, pattern: str,
+                       limit: int = 1024) -> List[str]:
+        """Dictionary terms matching a `?`/`*` wildcard pattern,
+        ascending, capped — WildcardQuery's expansion. The literal prefix
+        before the first wildcard prunes the scan to its range (same
+        seek as terms_with_prefix); the residual match is one compiled
+        regex over the banded candidates. A LEADING wildcard scans the
+        field's whole dictionary — Lucene documents the same cost."""
+        import fnmatch
+
+        i = min((pattern.index(c) for c in "*?" if c in pattern),
+                default=len(pattern))
+        prefix = pattern[:i]
+        cond = ds.field("field") == field
+        if prefix:
+            cond = (cond & (ds.field("term") >= prefix)
+                    & (ds.field("term") < prefix + "\x7f"))
+        t = self._lexicon.to_table(filter=cond, columns=["term"])
+        rx = re.compile(fnmatch.translate(pattern))
+        return sorted(x for x in t["term"].to_pylist()
+                      if rx.match(x))[:limit]
 
     def terms_fuzzy(self, field: str, text: str, max_edits: int = 2,
                     limit: int = 50) -> List[str]:

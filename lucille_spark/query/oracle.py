@@ -136,12 +136,39 @@ class OracleIndex:
             if (d := levenshtein(text, t, cap=max_edits)) <= max_edits)
         return [t for _, t in scored[:limit]]
 
+    def terms_wildcard(self, field: str, pattern: str,
+                       limit: int = 1024) -> List[str]:
+        import fnmatch
+        import re as _re
+
+        rx = _re.compile(fnmatch.translate(pattern))
+        return sorted(t for t in self.postings.get(field, {})
+                      if rx.match(t))[:limit]
+
+    def terms_in_range(self, field: str, lower, upper,
+                       include_lower: bool = True,
+                       include_upper: bool = True,
+                       limit: int = 1024) -> List[str]:
+        def ok(t):
+            if lower is not None and (t < lower or
+                                      (t == lower and not include_lower)):
+                return False
+            if upper is not None and (t > upper or
+                                      (t == upper and not include_upper)):
+                return False
+            return True
+
+        return sorted(t for t in self.postings.get(field, {})
+                      if ok(t))[:limit]
+
     def _parse(self, query: str, default_field: str):
         from lucille_spark.query.parser import expand_prefixes
 
         return expand_prefixes(parse(query, default_field),
                                self.terms_with_prefix,
-                               fuzzy_expander=self.terms_fuzzy)
+                               fuzzy_expander=self.terms_fuzzy,
+                               wildcard_expander=self.terms_wildcard,
+                               range_expander=self.terms_in_range)
 
     def match_query(self, query: str, default_field: str = "content") -> List:
         """Percolator-style: return doc ids matching the boolean query."""

@@ -6,12 +6,19 @@ user queries to Lucene's classic QueryParser with a StandardAnalyzer
 fixture queries at
 ``lucille-core/src/test/resources/MatchQueryTest/config.conf:14-26``).
 
-Supported subset (everything the reference fixtures use):
+Supported subset (everything the reference fixtures use, plus the rest of
+the classic multi-term family):
   - bare terms (analyzed with the standard analyzer), default field
   - fielded terms          ``field:term``
   - quoted phrases         ``field:"exact phrase"``
   - boolean operators      ``AND``, ``OR``, ``NOT`` (and unary ``-``/``+``)
-  - grouping               ``( ... )``
+  - grouping               ``( ... )`` and field grouping ``field:(a OR b)``
+  - prefix                 ``term*`` (PrefixQuery)
+  - fuzzy                  ``term~`` / ``term~1`` (FuzzyQuery)
+  - wildcard               ``te?t`` / ``t*st`` / ``*est`` (WildcardQuery;
+                           ``?`` = one char, ``*`` = any run)
+  - term range             ``field:[a TO b]`` / ``{a TO b}`` (TermRange,
+                           inclusive/exclusive; ``*`` = open bound)
 
 Default operator is OR (Lucene's default). ``-x`` / ``NOT x`` is MUST_NOT.
 The AST is engine-neutral; executors live in ``oracle.py`` (NumPy),
@@ -88,6 +95,33 @@ def levenshtein(a: str, b: str, cap: int = 1 << 30) -> int:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """Lucene classic WildcardQuery (`te?t` / `t*st` / `*est`): `?` = one
+    character, `*` = any run (including empty). Expanded via
+    :func:`expand_prefixes` like Prefix. Like Lucene, the pattern is
+    lowercased but NOT analyzed. A leading wildcard scans the field's
+    whole term dictionary (Lucene warns about exactly this); a literal
+    prefix prunes the scan to its range."""
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRange:
+    """Lucene classic TermRangeQuery `field:[a TO b]` (inclusive) /
+    `{a TO b}` (exclusive); `*` for an open bound. Bounds are lowercased
+    but not analyzed (classic-parser behavior); expansion rewrites to an
+    OR of the dictionary terms in range."""
+    field: str
+    lower: Optional[str]
+    upper: Optional[str]
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -111,6 +145,8 @@ _TOKEN_RE = re.compile(
         (?P<not>NOT\b) |
         (?P<minus>-) |
         (?P<plus>\+) |
+        (?P<fgroup>(?P<gfield>[A-Za-z_][\w.]*):\() |
+        (?P<range>(?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<ropen>[\[{])(?P<rbody>[^\]}]*)(?P<rclose>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
         (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?) |
         (?P<term>(?:(?P<tfield>[A-Za-z_][\w.]*):)?(?P<ttext>[^\s()":^]+)(?:\^(?P<tboost>\d+(?:\.\d+)?))?)
     )""",
@@ -199,6 +235,34 @@ class _Parser:
             if closing is None or not closing.group("rparen"):
                 raise QueryParseError("missing )")
             return node
+        if t.group("fgroup"):
+            # field grouping `field:(a OR b)` — the classic parser
+            # distributes the field over the group's bare terms
+            saved = self.default_field
+            self.default_field = t.group("gfield")
+            try:
+                node = self.parse_or()
+            finally:
+                self.default_field = saved
+            closing = self.next()
+            if closing is None or not closing.group("rparen"):
+                raise QueryParseError("missing ) in field group")
+            return node
+        if t.group("range"):
+            fieldname = t.group("rfield") or self.default_field
+            boost = float(t.group("rboost") or 1.0)
+            body = t.group("rbody").strip()
+            parts = re.split(r"\s+TO\s+", body)
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise QueryParseError(
+                    f"malformed range {t.group('range')!r} "
+                    "(expected [lower TO upper])")
+            lo = None if parts[0] == "*" else parts[0].lower()
+            hi = None if parts[1] == "*" else parts[1].lower()
+            return TermRange(fieldname, lo, hi,
+                             include_lower=t.group("ropen") == "[",
+                             include_upper=t.group("rclose") == "]",
+                             boost=boost)
         if t.group("phrase"):
             fieldname = t.group("pfield") or self.default_field
             boost = float(t.group("pboost") or 1.0)
@@ -221,20 +285,20 @@ class _Parser:
                         "(term~ / term~1 / term~2)")
                 return Fuzzy(fieldname, base.lower(),
                              int(edits) if edits else 2, boost)
-            if raw.endswith("*"):
-                # PrefixQuery (`spa*`). Lucene's classic parser lowercases
-                # wildcard terms but does NOT run the analyzer chain over
-                # them; mid-token wildcards are out of this subset.
-                pre = raw[:-1].lower()
-                if not pre or "*" in pre:
+            if "*" in raw or "?" in raw:
+                # Lucene's classic parser lowercases wildcard terms but
+                # does NOT run the analyzer chain over them
+                low = raw.lower()
+                if low.endswith("*") and "*" not in low[:-1] \
+                        and "?" not in low and len(low) > 1:
+                    # trailing-star only -> PrefixQuery (cheaper range
+                    # scan, no pattern match needed)
+                    return Prefix(fieldname, low[:-1], boost)
+                if set(low) <= {"*", "?"} and "?" not in low:
                     raise QueryParseError(
-                        f"unsupported wildcard pattern {raw!r} "
-                        "(only trailing-star prefix queries)")
-                return Prefix(fieldname, pre, boost)
-            if "*" in raw:
-                raise QueryParseError(
-                    f"unsupported wildcard pattern {raw!r} "
-                    "(only trailing-star prefix queries)")
+                        f"pure-wildcard pattern {raw!r} matches everything"
+                        " (use a MatchAll/filter instead)")
+                return Wildcard(fieldname, low, boost)
             toks = tokenize_py(raw)
             if not toks:
                 raise QueryParseError(f"term analyzes to nothing: {t.group('ttext')!r}")
@@ -259,19 +323,23 @@ def parse(query: str, default_field: str = DEFAULT_FIELD):
 
 
 def expand_prefixes(node, expander, max_expansions: int = 128,
-                    fuzzy_expander=None):
-    """Rewrite every :class:`Prefix` / :class:`Fuzzy` into an OR of Terms
-    over the matching dictionary terms (MultiTermQuery.
-    SCORING_BOOLEAN_REWRITE — each expanded term BM25-scores with the
-    multi-term node's boost), term-ascending so float summation order is
-    deterministic. ``expander(field, prefix)`` serves Prefix;
+                    fuzzy_expander=None, wildcard_expander=None,
+                    range_expander=None):
+    """Rewrite every multi-term node (:class:`Prefix` / :class:`Fuzzy` /
+    :class:`Wildcard` / :class:`TermRange`) into an OR of Terms over the
+    matching dictionary terms (MultiTermQuery.SCORING_BOOLEAN_REWRITE —
+    each expanded term BM25-scores with the multi-term node's boost),
+    term-ascending so float summation order is deterministic.
+    ``expander(field, prefix)`` serves Prefix;
     ``fuzzy_expander(field, text, max_edits)`` serves Fuzzy (its result is
-    pre-capped by closest-first selection, then re-sorted by term here).
-    Prefix expansion caps at ``max_expansions`` (Lucene's boolean rewrite
-    throws TooManyClauses at 1024; ours truncates, documented). A node
-    matching nothing rewrites to a term that cannot exist in the index
-    (`\\x00` is outside the analyzer alphabet): matches and scores
-    nothing."""
+    pre-capped by closest-first selection, then re-sorted by term here);
+    ``wildcard_expander(field, pattern)`` serves Wildcard;
+    ``range_expander(field, lower, upper, include_lower, include_upper)``
+    serves TermRange. Expansions cap at ``max_expansions`` (Lucene's
+    boolean rewrite throws TooManyClauses at 1024; ours truncates,
+    documented). A node matching nothing rewrites to a term that cannot
+    exist in the index (`\\x00` is outside the analyzer alphabet): matches
+    and scores nothing."""
 
     def as_terms(terms, field, boost, text):
         terms = sorted(terms)
@@ -291,16 +359,33 @@ def expand_prefixes(node, expander, max_expansions: int = 128,
         return as_terms(fuzzy_expander(node.field, node.text,
                                        node.max_edits),
                         node.field, node.boost, node.text)
+    if isinstance(node, Wildcard):
+        if wildcard_expander is None:
+            raise ValueError("wildcard query needs a wildcard_expander")
+        return as_terms(
+            sorted(wildcard_expander(node.field,
+                                     node.pattern))[:max_expansions],
+            node.field, node.boost, node.pattern.replace("*", "").replace(
+                "?", ""))
+    if isinstance(node, TermRange):
+        if range_expander is None:
+            raise ValueError("range query needs a range_expander")
+        return as_terms(
+            sorted(range_expander(node.field, node.lower, node.upper,
+                                  node.include_lower,
+                                  node.include_upper))[:max_expansions],
+            node.field, node.boost, node.lower or "")
+    kw = dict(fuzzy_expander=fuzzy_expander,
+              wildcard_expander=wildcard_expander,
+              range_expander=range_expander)
     if isinstance(node, Not):
         return Not(expand_prefixes(node.child, expander, max_expansions,
-                                   fuzzy_expander))
+                                   **kw))
     if isinstance(node, And):
-        return And(tuple(expand_prefixes(c, expander, max_expansions,
-                                         fuzzy_expander)
+        return And(tuple(expand_prefixes(c, expander, max_expansions, **kw)
                          for c in node.children))
     if isinstance(node, Or):
-        return Or(tuple(expand_prefixes(c, expander, max_expansions,
-                                        fuzzy_expander)
+        return Or(tuple(expand_prefixes(c, expander, max_expansions, **kw)
                         for c in node.children))
     return node
 

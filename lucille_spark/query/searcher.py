@@ -103,13 +103,16 @@ class IndexSearcher:
         self.tombstones = self.reader.tombstones
 
     def _parse(self, query: str):
-        """Parse + rewrite Prefix/Fuzzy nodes against the lexicon (scoring
-        boolean rewrite; the prefix seek is a row-group-pruned range scan
-        over the term-sorted lexicon, fuzzy is a capped closest-first
-        dictionary scan)."""
+        """Parse + rewrite multi-term nodes (Prefix/Fuzzy/Wildcard/
+        TermRange) against the lexicon (scoring boolean rewrite; prefix,
+        range and wildcard-with-literal-prefix seeks are row-group-pruned
+        range scans over the term-sorted lexicon, fuzzy is a banded
+        closest-first dictionary scan)."""
         node = parse(query, self.default_field)
         return expand_prefixes(node, self.reader.terms_with_prefix,
-                               fuzzy_expander=self.reader.terms_fuzzy)
+                               fuzzy_expander=self.reader.terms_fuzzy,
+                               wildcard_expander=self.reader.terms_wildcard,
+                               range_expander=self.reader.terms_in_range)
 
     # ------------------------------------------------------------------ API
     def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:

@@ -23,6 +23,15 @@ QUERIES = [
     "content:term30 OR content:term100",
     "content:term30 AND content:if",
     "content:giraffe",
+    # r4 multi-term family: range / wildcard / field grouping, each
+    # rank-identical between block-max WAND, exhaustive, and the oracle
+    "content:[raise TO return]",
+    "content:{raise TO with}",
+    "content:[* TO class]",
+    "content:r?turn",
+    "content:imp*t",
+    "content:*ield",
+    "content:(return OR import) AND content:if",
 ]
 
 

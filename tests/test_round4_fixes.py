@@ -411,3 +411,54 @@ def test_pack_sequences_streaming_overflow(spark):
     plan = pack_sequences(df, "doc_id", "text", 100, part_col="lang") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# ------------------------- classic-parser multi-term family (r4 parity)
+def test_parse_range_wildcard_fieldgroup():
+    from lucille_spark.query.parser import (And, Or, Prefix, QueryParseError,
+                                            Term, TermRange, Wildcard, parse)
+
+    r = parse("content:[data TO dup]")
+    assert r == TermRange("content", "data", "dup", True, True, 1.0)
+    r2 = parse("content:{data TO dup}^2")
+    assert (r2.include_lower, r2.include_upper, r2.boost) == (False, False,
+                                                              2.0)
+    assert parse("content:[* TO dup]").lower is None
+    assert parse("content:[dup TO *]").upper is None
+
+    w = parse("content:s?a*")
+    assert isinstance(w, Wildcard) and w.pattern == "s?a*"
+    assert isinstance(parse("content:*est"), Wildcard)  # leading wildcard
+    assert isinstance(parse("content:spa*"), Prefix)    # trailing-only
+
+    g = parse("title:(spark OR hash) AND merge")
+    assert isinstance(g, And)
+    or_node = g.children[0]
+    assert isinstance(or_node, Or)
+    assert all(c.field == "title" for c in or_node.children)
+    assert g.children[1] == Term("content", "merge", 1.0)
+
+    for bad in ["content:[data dup]", "content:*", "content:(a OR b"]:
+        with pytest.raises(QueryParseError):
+            parse(bad)
+
+
+def test_expand_range_and_wildcard_nodes():
+    from lucille_spark.query.parser import (Or, Term, expand_prefixes,
+                                            parse)
+
+    node = parse("content:[b TO d]")
+    exp = expand_prefixes(
+        node, lambda f, p: [],
+        range_expander=lambda f, lo, hi, il, iu: ["b", "c", "d"])
+    assert isinstance(exp, Or)
+    assert [t.text for t in exp.children] == ["b", "c", "d"]
+
+    node = parse("content:x?z")
+    exp = expand_prefixes(node, lambda f, p: [],
+                          wildcard_expander=lambda f, pat: ["xyz", "xaz"])
+    assert [t.text for t in exp.children] == ["xaz", "xyz"]
+    # empty expansion -> impossible term, matches nothing
+    nothing = expand_prefixes(node, lambda f, p: [],
+                              wildcard_expander=lambda f, pat: [])
+    assert isinstance(nothing, Term) and "\x00" in nothing.text
