@@ -76,8 +76,14 @@ def write_small_parquet(path: str, table: "pa.Table",
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    pq.write_table(
-        table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+    # write-then-rename: pyarrow dataset discovery ignores dot-prefixed
+    # files, and rename is atomic, so a concurrent reader never sees a
+    # half-written footer (it saw exactly that in the round-4 merge/
+    # reader stress test: "Parquet magic bytes not found")
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(path, "." + name)
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(path, name))
 
 
 def write_index_meta(spark: SparkSession, out_dir: str, ord_span: int,

@@ -62,28 +62,54 @@ def _open_lexicon_readonly(index_dir: str):
     merge. Recovery renames stay writer-only (merge_index)."""
     import time
 
+    import pyarrow as pa
+
     lex_dir = os.path.join(index_dir, "lexicon")
     lex_old = lex_dir + "_old"
     for attempt in range(3):
         for cand in (lex_dir, lex_old):
             if os.path.isdir(cand):
                 try:
-                    return ds.dataset(cand)
-                except FileNotFoundError:
+                    return ds.dataset(cand, ignore_prefixes=[".", "_"])
+                except (FileNotFoundError, pa.lib.ArrowInvalid):
                     continue  # swept out from under us mid-open; retry
         time.sleep(0.05 * (attempt + 1))
     # final attempt surfaces the real error
-    return ds.dataset(lex_dir)
+    return ds.dataset(lex_dir, ignore_prefixes=[".", "_"])
+
+
+def _retry_fnf(fn, attempts: int = 4, base_sleep: float = 0.05):
+    """Run ``fn`` retrying on FileNotFoundError and ArrowInvalid — rides
+    out the milliseconds-wide windows where a concurrent merge rewrites a
+    tiny metadata dir (write_small_parquet: rmtree -> atomic-rename write)
+    or swaps the lexicon; ArrowInvalid covers a dataset whose discovered
+    file list went stale mid-rewrite. Never masks a genuinely missing or
+    corrupt table: the final attempt's error propagates."""
+    import time
+
+    import pyarrow as pa
+
+    for a in range(attempts - 1):
+        try:
+            return fn()
+        except (FileNotFoundError, pa.lib.ArrowInvalid):
+            time.sleep(base_sleep * (a + 1))
+    return fn()
 
 
 def read_meta(index_dir: str) -> Optional[dict]:
     """Read the 1-row ``_meta`` table (ord_span, version, updated_at);
-    None when absent (pre-round-2 index layout)."""
-    try:
-        t = ds.dataset(os.path.join(index_dir, "_meta")).to_table()
-        rows = t.to_pylist()
+    None when absent (pre-round-2 index layout). Retries mid-rewrite
+    races; only a truly absent table returns None."""
+    path = os.path.join(index_dir, "_meta")
+
+    def _read():
+        rows = ds.dataset(path).to_table().to_pylist()
         # several appends may exist; the newest updated_at wins
         return max(rows, key=lambda r: r.get("updated_at", 0.0))
+
+    try:
+        return _retry_fnf(_read)
     except Exception:
         return None
 
@@ -91,14 +117,26 @@ def read_meta(index_dir: str) -> Optional[dict]:
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        self._postings = ds.dataset(os.path.join(index_dir, "postings"))
+        # every dataset open retries: discovery can race a concurrent
+        # merge's in-flight Spark append (a vanishing _temporary commit
+        # dir raises FileNotFoundError mid-listing); ignore_prefixes
+        # keeps half-written dot/underscore files out of the file list
+        self._postings = _retry_fnf(lambda: ds.dataset(
+            os.path.join(index_dir, "postings"),
+            ignore_prefixes=[".", "_"]))
         # a crash mid lexicon swap (merge_index) may have left the live
         # lexicon aside as lexicon_old — open it read-only; actual
         # recovery renames are writer-only (merge_index calls
         # recover_lexicon), so concurrent readers can't race a live merge
         self._lexicon = _open_lexicon_readonly(index_dir)
-        self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
-        stats = ds.dataset(os.path.join(index_dir, "corpus_stats")).to_table()
+        self._doc_stats = _retry_fnf(lambda: ds.dataset(
+            os.path.join(index_dir, "doc_stats"),
+            ignore_prefixes=[".", "_"]))
+        # corpus_stats is driver-rewritten by merges (rmtree -> write);
+        # ride out the window instead of failing construction
+        stats = _retry_fnf(lambda: ds.dataset(
+            os.path.join(index_dir, "corpus_stats"),
+            ignore_prefixes=[".", "_"]).to_table())
         self.stats = {
             r["field"]: r for r in stats.to_pylist()
         }
@@ -109,12 +147,17 @@ class IndexReader:
         # Stored as a SORTED int64 array, not a Python set: at 10^9 docs with
         # 1% deletes a set of ints is ~GBs; the array is 8B/entry and
         # membership is one searchsorted.
-        try:
-            t = ds.dataset(os.path.join(index_dir, "_tombstones")).to_table(
-                columns=["doc_ord"])
+        tomb_dir = os.path.join(index_dir, "_tombstones")
+        if os.path.isdir(tomb_dir):
+            # dir exists -> the table is real; retry mid-rewrite races
+            # rather than silently serving EMPTY tombstones (which would
+            # resurrect deleted docs)
+            t = _retry_fnf(lambda: ds.dataset(
+                tomb_dir, ignore_prefixes=[".", "_"]).to_table(
+                columns=["doc_ord"]))
             arr = np.unique(np.asarray(t["doc_ord"].to_pylist(),
                                        dtype=np.int64))
-        except Exception:
+        else:
             arr = np.empty(0, dtype=np.int64)
         self.tombstones = arr
         # _meta carries the ordinal SPAN (max doc_ord + 1, including
@@ -128,6 +171,25 @@ class IndexReader:
             mx = -1 if len(col) == 0 else int(
                 max(c for c in col.to_pylist()))
             self._meta = {"ord_span": mx + 1, "version": "legacy"}
+
+    def _lex_table(self, flt, columns=None):
+        """Lexicon read that survives a concurrent merge's directory swap:
+        a pyarrow dataset resolves file PATHS lazily, so a swap between
+        dataset discovery and to_table() raises FileNotFoundError — on
+        that, reopen the lexicon (current dir or aside copy, read-only)
+        and retry. Postings/doc_stats/tombstones are append-only, so only
+        the lexicon needs this."""
+        import time
+
+        import pyarrow as pa
+
+        for attempt in range(3):
+            try:
+                return self._lexicon.to_table(filter=flt, columns=columns)
+            except (FileNotFoundError, pa.lib.ArrowInvalid):
+                time.sleep(0.05 * (attempt + 1))
+                self._lexicon = _open_lexicon_readonly(self.index_dir)
+        return self._lexicon.to_table(filter=flt, columns=columns)
 
     # --- stats -----------------------------------------------------------
     def n_docs(self, field: str = "content") -> int:
@@ -154,8 +216,8 @@ class IndexReader:
     def term_info(self, field: str, term: str) -> Optional[dict]:
         key = (field, term)
         if key not in self._term_cache:
-            t = self._lexicon.to_table(
-                filter=(ds.field("field") == field) & (ds.field("term") == term))
+            t = self._lex_table(
+                (ds.field("field") == field) & (ds.field("term") == term))
             rows = t.to_pylist()
             self._term_cache[key] = rows[0] if rows else None
         return self._term_cache[key]
@@ -167,8 +229,8 @@ class IndexReader:
         [prefix, prefix+0x7F) prunes to the row groups covering the prefix
         — the skip-list seek of Lucene's TermsEnum (analyzer alphabet is
         ASCII, so 0x7F upper-bounds every continuation)."""
-        t = self._lexicon.to_table(
-            filter=(ds.field("field") == field)
+        t = self._lex_table(
+            (ds.field("field") == field)
             & (ds.field("term") >= prefix)
             & (ds.field("term") < prefix + "\x7f"),
             columns=["term"])
@@ -190,7 +252,7 @@ class IndexReader:
             cond = cond & (f >= lower if include_lower else f > lower)
         if upper is not None:
             cond = cond & (f <= upper if include_upper else f < upper)
-        t = self._lexicon.to_table(filter=cond, columns=["term"])
+        t = self._lex_table(cond, columns=["term"])
         return sorted(t["term"].to_pylist())[:limit]
 
     def terms_wildcard(self, field: str, pattern: str,
@@ -210,7 +272,7 @@ class IndexReader:
         if prefix:
             cond = (cond & (ds.field("term") >= prefix)
                     & (ds.field("term") < prefix + "\x7f"))
-        t = self._lexicon.to_table(filter=cond, columns=["term"])
+        t = self._lex_table(cond, columns=["term"])
         rx = re.compile(fnmatch.translate(pattern))
         return sorted(x for x in t["term"].to_pylist()
                       if rx.match(x))[:limit]
@@ -239,8 +301,8 @@ class IndexReader:
         from lucille_spark.query.parser import levenshtein
 
         qlen = len(text)
-        t = self._lexicon.to_table(
-            filter=(ds.field("field") == field)
+        t = self._lex_table(
+            (ds.field("field") == field)
             & (pc.utf8_length(ds.field("term")) >= qlen - max_edits)
             & (pc.utf8_length(ds.field("term")) <= qlen + max_edits),
             columns=["term"])

@@ -1127,13 +1127,16 @@ class MatchQuery(Stage):
 
     def _node_pred(self, node, df):
         from lucille_spark.analysis import tokenize_col
-        from lucille_spark.query.parser import And, Not, Or, Phrase, Term
+        from lucille_spark.query.parser import (And, MatchAll, Not, Or,
+                                                Phrase, Term)
 
         def toks(fld):
             if fld not in df.columns:
                 return None
             return tokenize_col(F.col(fld))
 
+        if isinstance(node, MatchAll):
+            return F.lit(True)
         if isinstance(node, Term):
             t = toks(node.field)
             if t is None:

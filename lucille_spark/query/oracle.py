@@ -97,6 +97,10 @@ class OracleIndex:
 
     def matching(self, node) -> set:
         """Doc-index set matching a parsed query node."""
+        from lucille_spark.query.parser import MatchAll
+
+        if isinstance(node, MatchAll):
+            return set(range(self.n_docs))
         if isinstance(node, Term):
             return self._term_docs(node)
         if isinstance(node, Phrase):

@@ -95,6 +95,16 @@ def levenshtein(a: str, b: str, cap: int = 1 << 30) -> int:
 
 
 @dataclass(frozen=True)
+class MatchAll:
+    """Lucene classic `*:*` (MatchAllDocsQuery). First-class in the
+    BOOLEAN plane (percolator matching, NOT/AND algebra); in the scored
+    plane it is a constant-score filter clause contributing 0.0 to BM25
+    sums (documented deviation: Lucene adds boost*1.0), so `*:* AND x`
+    ranks by x's score and bare `*:*` returns docs in ordinal order."""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Wildcard:
     """Lucene classic WildcardQuery (`te?t` / `t*st` / `*est`): `?` = one
     character, `*` = any run (including empty). Expanded via
@@ -145,6 +155,7 @@ _TOKEN_RE = re.compile(
         (?P<not>NOT\b) |
         (?P<minus>-) |
         (?P<plus>\+) |
+        (?P<matchall>\*:\*(?:\^(?P<maboost>\d+(?:\.\d+)?))?) |
         (?P<fgroup>(?P<gfield>[A-Za-z_][\w.]*):\() |
         (?P<range>(?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<ropen>[\[{])(?P<rbody>[^\]}]*)(?P<rclose>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
         (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?) |
@@ -235,6 +246,8 @@ class _Parser:
             if closing is None or not closing.group("rparen"):
                 raise QueryParseError("missing )")
             return node
+        if t.group("matchall"):
+            return MatchAll(float(t.group("maboost") or 1.0))
         if t.group("fgroup"):
             # field grouping `field:(a OR b)` — the classic parser
             # distributes the field over the group's bare terms

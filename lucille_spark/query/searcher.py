@@ -27,7 +27,7 @@ import numpy as np
 from lucille_spark import BM25_B, BM25_K1
 from lucille_spark.index.reader import SENTINEL, IndexReader, TermCursor
 from lucille_spark.query.parser import (
-    And, Not, Or, Phrase, Term, expand_prefixes, parse, positive_terms,
+    And, MatchAll, Not, Or, Phrase, Term, expand_prefixes, parse, positive_terms,
 )
 
 
@@ -269,6 +269,8 @@ class IndexSearcher:
         if isinstance(node, Term):
             docs, _, _ = self._term_postings(node.field, node.text)
             return DocSet(np.asarray(docs, dtype=np.int64))
+        if isinstance(node, MatchAll):
+            return ~DocSet.empty()   # the lazy universe
         if isinstance(node, Phrase):
             return self._phrase_docs(node)
         if isinstance(node, Not):

@@ -462,3 +462,80 @@ def test_expand_range_and_wildcard_nodes():
     nothing = expand_prefixes(node, lambda f, p: [],
                               wildcard_expander=lambda f, pat: [])
     assert isinstance(nothing, Term) and "\x00" in nothing.text
+
+
+# --------------------- merge/reader concurrency stress (ADVICE r3 medium)
+def test_readers_survive_concurrent_merges(spark, tmp_path):
+    """The advisor's scenario, live: readers opening continuously WHILE
+    merge_index swaps the lexicon must never crash, never corrupt the
+    merge, and always see a complete lexicon (current or aside copy)."""
+    import threading
+
+    from lucille_spark.corpus import corpus_df
+    from lucille_spark.index.builder import build_index
+    from lucille_spark.index.merge import merge_index
+    from lucille_spark.index.reader import IndexReader
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx")
+    build_index(corpus_df(spark, 300, partitions=3), idx,
+                fields=("content",), block_size=32, docs_per_salt=64)
+
+    stop = threading.Event()
+    errors = []
+
+    def reader_loop():
+        while not stop.is_set():
+            try:
+                rd = IndexReader(idx)
+                assert rd.term_info("content", "return") is not None
+                assert rd.terms_with_prefix("content", "re")
+            except Exception as e:   # pragma: no cover - the assertion
+                errors.append(repr(e))
+                return
+
+    threads = [threading.Thread(target=reader_loop) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for b in range(3):
+            delta = corpus_df(spark, 60, partitions=2).withColumn(
+                "repo", F.concat(F.lit(f"m{b}/"), F.col("repo")))
+            merge_index(delta, idx, fields=("content",), run_id=f"c{b}")
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors
+    # post-merge state is clean and queryable
+    rd = IndexReader(idx)
+    assert rd.term_info("content", "return") is not None
+    assert not os.path.exists(os.path.join(idx, "lexicon_old"))
+
+
+# ----------------------------------------------------- MatchAll `*:*` (r4)
+def test_matchall_boolean_plane(index_dir):
+    from lucille_spark.query.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir, "content")
+    all_ids = s.match("*:*")
+    assert len(all_ids) == 1000
+    some = s.match("content:koala")
+    rest = s.match("*:* AND -content:koala")
+    assert len(rest) == 1000 - len(some)
+    assert set(rest) | set(some) == set(all_ids)
+    # scored plane: `*:* AND x` ranks by x (constant clause scores 0)
+    via_filter = s.search("*:* AND content:return", k=5)
+    plain = s.search("content:return", k=5)
+    assert [d for d, _ in via_filter] == [d for d, _ in plain]
+
+
+def test_matchall_matchquery_stage(spark):
+    from lucille_spark.pipeline.stages import MatchQuery
+
+    df = spark.createDataFrame(
+        [("1", "alpha beta"), ("2", "gamma")], "id string, content string")
+    st = MatchQuery(queries={"everything": "*:*", "alpha": "content:alpha"})
+    out = {r.id: sorted(r.matched_queries)
+           for r in st.apply(df).collect()}
+    assert out == {"1": ["alpha", "everything"], "2": ["everything"]}
