@@ -184,9 +184,11 @@ ORDER BY raw_score DESC, doc_id LIMIT {k}
 """
 
 
-def _bm25_spark(spark, sf_dir, terms, mode="or", exclude=(), phrases=(), k=10):
+def _bm25_spark(spark, sf_dir, terms, mode="or", exclude=(), phrases=(),
+                sloppy_phrases=(), k=10):
     res = bm25_query_df(_docs(spark, sf_dir), "doc_id", "text", terms, k=k,
-                        mode=mode, exclude=exclude, phrases=phrases)
+                        mode=mode, exclude=exclude, phrases=phrases,
+                        sloppy_phrases=sloppy_phrases)
     return res.select("doc_id", F.col("rank").cast("long").alias("rank"),
                       "score")
 
@@ -304,6 +306,27 @@ def _ensure_gate_index(spark, sf_dir: str) -> str:
                 block_size=64, docs_per_salt=256, run_id=f"gate-{sf_dir}",
                 resume=True)
     return out
+
+
+_SLOPPY_COND = (
+    "len(list_filter(range(1, len(toks) + 1), i -> toks[i] = 'order'"
+    " AND len(list_filter(range(greatest(1, i - 1),"
+    " least(len(toks), i + 3) + 1),"
+    " j -> toks[j] = 'key' AND abs((j - 2) - (i - 1)) <= 2)) > 0)) > 0")
+
+
+@register("bm25_phrase_sloppy",
+          sql=_bm25_sql(["order", "key"], mode="and").replace(
+              "(tf_0 > 0 AND tf_1 > 0) AS matched",
+              f"(tf_0 > 0 AND tf_1 > 0 AND {_SLOPPY_COND}) AS matched"))
+def bm25_phrase_sloppy(spark, sf_dir):
+    """Sloppy phrase `content:"order key"~2` through the DataFrame BM25
+    executor: the corpus plants "key order", so the TRANSPOSED query only
+    matches at slop >= 2 (span-width contract, parser.Phrase). The oracle
+    replays the window-existence check relationally (bounded j-range per
+    'order' occurrence, no quadratic position product)."""
+    return _bm25_spark(spark, sf_dir, ["order", "key"], mode="and",
+                       sloppy_phrases=[(("order", "key"), 2)])
 
 
 @register("wand_index_top10", sql=_WAND_SQL)

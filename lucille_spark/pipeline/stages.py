@@ -1151,9 +1151,12 @@ class MatchQuery(Stage):
             # parameterized column lambdas share analyzers.tokenize_col —
             # no SQL-string splicing (terms with quotes are safe) and no
             # duplicated tokenizer regex to keep in sync
-            from lucille_spark.query.executor_df import phrase_pred
+            from lucille_spark.query.executor_df import (phrase_pred,
+                                                         sloppy_phrase_pred)
 
-            return F.coalesce(phrase_pred(list(node.terms), t), F.lit(False))
+            pred = (sloppy_phrase_pred(list(node.terms), node.slop, t)
+                    if node.slop else phrase_pred(list(node.terms), t))
+            return F.coalesce(pred, F.lit(False))
         if isinstance(node, Not):
             return ~self._node_pred(node.child, df)
         if isinstance(node, And):

@@ -70,6 +70,7 @@ def bm25_query_df(
     mode: str = "or",
     exclude: Sequence[str] = (),
     phrases: Sequence[Sequence[str]] = (),
+    sloppy_phrases: Sequence[tuple] = (),
     score_decimals: int = 4,
     boosts: Optional[dict] = None,
 ) -> DataFrame:
@@ -78,7 +79,8 @@ def bm25_query_df(
     mode="or"  — match any scoring term;  mode="and" — require all.
     ``exclude`` terms must be absent; ``phrases`` must appear consecutively
     (their constituent terms must already be included in ``terms`` to score,
-    mirroring the oracle's positive-term semantics). ``boosts`` maps a term
+    mirroring the oracle's positive-term semantics); ``sloppy_phrases`` is
+    [(terms, slop), ...] with the span-width contract of parser.Phrase. ``boosts`` maps a term
     to its Lucene clause boost (``term^2``): the term's contribution is
     multiplied as (idf * boost) * tfnorm, matching the searcher's
     fold-into-idf association exactly.
@@ -123,6 +125,9 @@ def bm25_query_df(
             match = c if match is None else match | c
     for ph in phrases:
         match = (match if match is not None else F.lit(True)) & phrase_pred(ph)
+    for ph, slop in sloppy_phrases:
+        match = (match if match is not None else F.lit(True)) \
+            & sloppy_phrase_pred(list(ph), slop)
     for t in exclude:
         match = match & (F.size(F.filter("toks", lambda x: x == F.lit(t))) == 0)
     scored = scored.filter(match if match is not None else F.lit(False))
@@ -139,6 +144,40 @@ def bm25_query_df(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "rank", F.round("score", score_decimals).alias("score")
     )
+
+
+def sloppy_phrase_pred(terms: Sequence[str], slop: int,
+                       toks_col="toks") -> Column:
+    """True when the sloppy phrase matches the token-array column: exist
+    occurrences p_0..p_{n-1} with span width max(p_i - i) - min(p_i - i)
+    <= slop (parser.Phrase contract). Expressed as: some window start s
+    has, for EVERY term i, an adjusted occurrence (pos - i) in
+    [s, s + slop]. Window starts only need testing at adjusted
+    occurrences themselves (the minimum of any covering assignment IS
+    one), so the cost is O(total_occ * n * L) column-lambda evaluations
+    — the slop=0 fast path stays on :func:`phrase_pred`."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    n = len(terms)
+    L = F.size(toks)
+
+    def adj_positions(i: int):
+        # zero-based adjusted occurrence positions of term i: pos - i
+        return F.transform(
+            F.filter(F.sequence(F.lit(0), L - 1),
+                     lambda j: F.get(toks, j) == F.lit(terms[i])),
+            lambda j: j - F.lit(i))
+
+    starts = F.flatten(F.array(*[adj_positions(i) for i in range(n)]))
+
+    def window_ok(s: Column) -> Column:
+        cond = None
+        for i in range(n):
+            has = F.exists(adj_positions(i),
+                           lambda q: (q >= s) & (q <= s + F.lit(slop)))
+            cond = has if cond is None else cond & has
+        return cond
+
+    return (L >= n) & F.exists(starts, window_ok)
 
 
 def boolean_match_df(

@@ -85,6 +85,21 @@ class OracleIndex:
             candidates = docs if candidates is None else candidates & docs
             if not candidates:
                 return set()
+        if p.slop:
+            from lucille_spark.query.searcher import _sloppy_window_exists
+
+            out = set()
+            n = len(p.terms)
+            for d in candidates:
+                events = sorted(
+                    (pos - i, i)
+                    for i, t in enumerate(p.terms)
+                    for pos in field_postings[t][d])
+                qs = [e[0] for e in events]
+                labels = [e[1] for e in events]
+                if _sloppy_window_exists(qs, labels, n, p.slop):
+                    out.add(d)
+            return out
         out = set()
         for d in candidates:
             first = field_postings[p.terms[0]][d]

@@ -19,6 +19,8 @@ the classic multi-term family):
                            ``?`` = one char, ``*`` = any run)
   - term range             ``field:[a TO b]`` / ``{a TO b}`` (TermRange,
                            inclusive/exclusive; ``*`` = open bound)
+  - sloppy phrases         ``"a b"~2`` (span-width contract, Phrase.slop)
+  - match-all              ``*:*`` (MatchAllDocsQuery)
 
 Default operator is OR (Lucene's default). ``-x`` / ``NOT x`` is MUST_NOT.
 The AST is engine-neutral; executors live in ``oracle.py`` (NumPy),
@@ -45,9 +47,17 @@ class Term:
 
 @dataclass(frozen=True)
 class Phrase:
+    """Positional phrase. ``slop`` (Lucene `"a b"~2`) relaxes adjacency:
+    the phrase matches when occurrences p_0..p_{n-1} (one per term) exist
+    with max_i(p_i - i) - min_i(p_i - i) <= slop — the span-width
+    formulation, which reproduces Lucene's common cases ("b a" needs
+    slop 2, one intervening word needs slop 1); slop=0 is exact
+    adjacency. Repeated terms in a sloppy phrase are rejected at parse
+    time (Lucene's repeats handling is a documented non-goal)."""
     field: str
     terms: tuple  # tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -158,7 +168,7 @@ _TOKEN_RE = re.compile(
         (?P<matchall>\*:\*(?:\^(?P<maboost>\d+(?:\.\d+)?))?) |
         (?P<fgroup>(?P<gfield>[A-Za-z_][\w.]*):\() |
         (?P<range>(?:(?P<rfield>[A-Za-z_][\w.]*):)?(?P<ropen>[\[{])(?P<rbody>[^\]}]*)(?P<rclose>[\]}])(?:\^(?P<rboost>\d+(?:\.\d+)?))?) |
-        (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)"(?:\^(?P<pboost>\d+(?:\.\d+)?))?) |
+        (?P<phrase>(?:(?P<pfield>[A-Za-z_][\w.]*):)?"(?P<ptext>[^"]*)"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?) |
         (?P<term>(?:(?P<tfield>[A-Za-z_][\w.]*):)?(?P<ttext>[^\s()":^]+)(?:\^(?P<tboost>\d+(?:\.\d+)?))?)
     )""",
     re.VERBOSE,
@@ -279,12 +289,17 @@ class _Parser:
         if t.group("phrase"):
             fieldname = t.group("pfield") or self.default_field
             boost = float(t.group("pboost") or 1.0)
+            slop = int(t.group("pslop") or 0)
             terms = tuple(tokenize_py(t.group("ptext")))
             if not terms:
                 raise QueryParseError("empty phrase")
             if len(terms) == 1:
                 return Term(fieldname, terms[0], boost)
-            return Phrase(fieldname, terms, boost)
+            if slop and len(set(terms)) != len(terms):
+                raise QueryParseError(
+                    "sloppy phrases with repeated terms are unsupported "
+                    f"({t.group('ptext')!r}~{slop})")
+            return Phrase(fieldname, terms, boost, slop)
         if t.group("term"):
             fieldname = t.group("tfield") or self.default_field
             boost = float(t.group("tboost") or 1.0)

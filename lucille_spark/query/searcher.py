@@ -307,9 +307,12 @@ class IndexSearcher:
         postings are decoded block-by-block; other terms' positions are
         fetched as flat (doc, pos) arrays for just the doc range each block
         covers; adjacency is checked with one np.isin over (doc*MAXPOS +
-        pos) keys per term — no per-document python loop."""
+        pos) keys per term — no per-document python loop. Sloppy phrases
+        (slop > 0) route to the window matcher."""
         import numpy as np
 
+        if p.slop:
+            return self._phrase_docs_sloppy(p)
         terms = list(p.terms)
         decoded = {}
         for t in set(terms):
@@ -329,6 +332,45 @@ class IndexSearcher:
             if keys.size == 0:
                 return DocSet.empty()
         return DocSet(np.unique(keys // MAXPOS))
+
+    def _phrase_docs_sloppy(self, p: Phrase) -> DocSet:
+        """Sloppy phrase (`"a b"~N`): a doc matches when occurrences
+        p_0..p_{n-1} exist with span width max(p_i - i) - min(p_i - i)
+        <= slop (Phrase docstring; slop=0 would be exact adjacency).
+        Candidates are the intersection of the terms' doc sets; within
+        each candidate one two-pointer pass over the merged
+        position-adjusted occurrence list finds a covering window —
+        O(total occurrences) per doc, no pairwise position products."""
+        import numpy as np
+
+        n = len(p.terms)
+        per, cand = [], None
+        for i, t in enumerate(p.terms):
+            docs, _, _, flat, lens = self.reader.decode_term_flat(p.field, t)
+            if docs.size == 0:
+                return DocSet.empty()
+            fd = np.repeat(docs.astype(np.int64), lens)
+            per.append((fd, flat.astype(np.int64) - i))
+            dset = docs.astype(np.int64)
+            cand = dset if cand is None else np.intersect1d(
+                cand, dset, assume_unique=True)
+            if cand.size == 0:
+                return DocSet.empty()
+        d = np.concatenate([fd for fd, _ in per])
+        q = np.concatenate([qq for _, qq in per])
+        lab = np.concatenate([np.full(fd.size, i, dtype=np.int64)
+                              for i, (fd, _) in enumerate(per)])
+        keep = np.isin(d, cand)
+        d, q, lab = d[keep], q[keep], lab[keep]
+        order = np.lexsort((q, d))
+        d, q, lab = d[order], q[order], lab[order]
+        lo = np.searchsorted(d, cand, side="left")
+        hi = np.searchsorted(d, cand, side="right")
+        out = []
+        for doc, a, b in zip(cand.tolist(), lo.tolist(), hi.tolist()):
+            if _sloppy_window_exists(q[a:b], lab[a:b], n, p.slop):
+                out.append(doc)
+        return DocSet(np.asarray(out, dtype=np.int64))
 
     def _score_candidates(self, node, k: int):
         """Vectorized candidate scoring: per positive term, one np.searchsorted
@@ -363,6 +405,29 @@ class IndexSearcher:
 
 
 # --- helpers ----------------------------------------------------------------
+
+def _sloppy_window_exists(qs, labels, n: int, slop: int) -> bool:
+    """True when the sorted adjusted-position list (qs ascending, labels =
+    phrase term index) contains a window covering all n labels with
+    qs[right] - qs[left] <= slop. Standard minimal-covering two-pointer."""
+    count = [0] * n
+    have = 0
+    left = 0
+    for right in range(len(qs)):
+        c = int(labels[right])
+        count[c] += 1
+        if count[c] == 1:
+            have += 1
+        while have == n:
+            if qs[right] - qs[left] <= slop:
+                return True
+            cl = int(labels[left])
+            count[cl] -= 1
+            if count[cl] == 0:
+                have -= 1
+            left += 1
+    return False
+
 
 def _heap_offer(heap, k, score, doc, theta):
     """Min-heap of (score, -doc): root is the worst hit (lowest score, and

@@ -32,6 +32,8 @@ QUERIES = [
     "content:imp*t",
     "content:*ield",
     "content:(return OR import) AND content:if",
+    'content:"import return"~2',     # transposed planted phrase
+    'content:"return import"~1',
 ]
 
 

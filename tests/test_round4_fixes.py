@@ -539,3 +539,55 @@ def test_matchall_matchquery_stage(spark):
     out = {r.id: sorted(r.matched_queries)
            for r in st.apply(df).collect()}
     assert out == {"1": ["alpha", "everything"], "2": ["everything"]}
+
+
+# --------------------------------------------- sloppy phrases `"a b"~N`
+def test_sloppy_phrase_parse_and_contract():
+    from lucille_spark.query.parser import Phrase, QueryParseError, parse
+    from lucille_spark.query.searcher import _sloppy_window_exists
+
+    p = parse('content:"key order"~2^3')
+    assert p == Phrase("content", ("key", "order"), 3.0, 2)
+    with pytest.raises(QueryParseError):   # repeated terms unsupported
+        parse('content:"key key"~1')
+    # span-width contract: transposition costs 2, one gap costs 1
+    assert _sloppy_window_exists([-1, 1], [1, 0], 2, 2)
+    assert not _sloppy_window_exists([-1, 1], [1, 0], 2, 1)
+    assert _sloppy_window_exists([0, 1], [0, 1], 2, 1)
+
+
+def test_sloppy_phrase_three_planes_agree(spark, tmp_path):
+    """searcher (positional index), OracleIndex (pure python), and the
+    MatchQuery stage (JVM column exprs) must agree doc-for-doc."""
+    from lucille_spark.index.builder import build_index
+    from lucille_spark.pipeline.stages import MatchQuery
+    from lucille_spark.query.oracle import OracleIndex
+    from lucille_spark.query.searcher import IndexSearcher
+
+    rows = [("1", "alpha beta"), ("2", "beta alpha"), ("3", "alpha x beta"),
+            ("4", "alpha x y z beta"), ("5", "beta only here"),
+            ("6", "x alpha y beta z"), ("7", "beta q q q alpha")]
+    queries = ['content:"alpha beta"', 'content:"alpha beta"~1',
+               'content:"alpha beta"~2', 'content:"alpha beta"~5']
+    oi = OracleIndex([{"id": r[0], "content": r[1]} for r in rows],
+                     fields=("content",))
+    df = spark.createDataFrame(rows, "id string, content string")
+    stage = MatchQuery(queries={q: q for q in queries})
+    stage_hits = {q: set() for q in queries}
+    for r in stage.apply(df).collect():
+        for q in r.matched_queries:
+            stage_hits[q].add(r.id)
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(r[0], r[0], "c", "python", r[1]) for r in rows],
+        "repo string, path string, commit string, lang string, content string")
+    build_index(corpus, idx, fields=("content",), store_positions=True)
+    searcher = IndexSearcher(idx, "content")
+    for q in queries:
+        want = set(oi.match_query(q))
+        assert stage_hits[q] == want, q
+        assert len(searcher.match(q)) == len(want), q
+    assert set(oi.match_query('content:"alpha beta"~2')) == {"1", "2",
+                                                             "3", "6"}
+    # "beta q q q alpha": q_alpha = 4, q_beta = -1 -> width 5
+    assert "7" in set(oi.match_query('content:"alpha beta"~5'))
