@@ -1880,6 +1880,63 @@ def multimodal_features(spark, sf_dir):
                         .cast("string")), "_").alias("feature"))
 
 
+@register("facet_counts", sql="""
+WITH t AS (
+  SELECT lang,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+)
+SELECT lang AS facet_value, CAST(COUNT(*) AS BIGINT) AS n
+FROM t
+WHERE len(list_intersect(toks, ['merge', 'hash'])) > 0
+GROUP BY lang
+ORDER BY n DESC, facet_value
+LIMIT 10
+""")
+def facet_counts(spark, sf_dir):
+    """Solr-style field faceting (the reference gets this from the Solr
+    it delegates to): facet documents matching `merge OR hash` by lang —
+    executor_df.facet_counts_df, one filter + one groupBy shuffle on the
+    facet key. IndexSearcher.facet implements the same contract over the
+    positional index (tested in test_round4_fixes)."""
+    from lucille_spark.query.executor_df import facet_counts_df
+
+    return facet_counts_df(_docs(spark, sf_dir), "text", "lang",
+                           any_of=["merge", "hash"], size=10)
+
+
+@register("text_snippets", sql="""
+WITH p AS (
+  SELECT doc_id, text,
+         strpos(lower(text), 'merge') AS p0,
+         strpos(lower(text), 'vector') AS p1
+  FROM documents
+),
+hit AS (
+  SELECT doc_id, text,
+         CASE WHEN p0 > 0 AND (p1 = 0 OR p0 <= p1) THEN 'merge'
+              WHEN p1 > 0 THEN 'vector' END AS matched_term,
+         CASE WHEN p0 > 0 AND (p1 = 0 OR p0 <= p1) THEN p0
+              WHEN p1 > 0 THEN p1 END AS pos
+  FROM p WHERE p0 > 0 OR p1 > 0
+)
+SELECT doc_id, matched_term,
+       CAST(pos - 1 AS BIGINT) AS offset,
+       substr(text, greatest(1, pos - 30), len(matched_term) + 60)
+         AS snippet
+FROM hit
+""")
+def text_snippets(spark, sf_dir):
+    """Highlighting's fragment step (Solr highlighter territory):
+    snippet +-30 chars around the first occurrence of the
+    earliest-matching term, deterministic term tie-break by list order
+    (executor_df.snippets_df — pure locate/substring column exprs)."""
+    from lucille_spark.query.executor_df import snippets_df
+
+    return snippets_df(_docs(spark, sf_dir), "doc_id", "text",
+                       ["merge", "vector"], window=30)
+
+
 @register("zz_registry_sentinel", sql="""
 SELECT CAST(1 AS BIGINT) AS one, 'sentinel' AS tag
 """)

@@ -180,6 +180,62 @@ def sloppy_phrase_pred(terms: Sequence[str], slop: int,
     return (L >= n) & F.exists(starts, window_ok)
 
 
+def facet_counts_df(df: DataFrame, text_col: str, facet_col: str,
+                    any_of: Sequence[str] = (),
+                    all_of: Sequence[str] = (),
+                    size: int = 10) -> DataFrame:
+    """Solr-style facet counts over the corpus table: (facet_value, n)
+    for documents matching the boolean condition, count desc then value
+    asc, capped. One narrow filter + one groupBy shuffle on the facet
+    key — the DataFrame twin of IndexSearcher.facet (same output
+    contract), for when no index exists or the facet column is not an
+    indexed field."""
+    toks = tokenize_col(F.col(text_col))
+    pred = F.lit(True)
+    if any_of:
+        pred = pred & F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in any_of]))
+    if all_of:
+        pred = pred & (F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(t) for t in all_of]))) == len(set(all_of)))
+    return (df.filter(pred)
+            .groupBy(F.col(facet_col).alias("facet_value"))
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("facet_value"))
+            .limit(size))
+
+
+def snippets_df(df: DataFrame, id_col: str, text_col: str,
+                terms: Sequence[str], window: int = 30) -> DataFrame:
+    """Search-result snippets (Solr highlighting's fragment step):
+    (doc_id, matched_term, offset, snippet) for docs containing any term
+    — the snippet is +-``window`` characters around the FIRST occurrence
+    of the earliest-occurring term. Pure column expressions (locate /
+    substring), deterministic: matched_term ties at equal offset break
+    by the terms' list order via the struct-min. Occurrence is a
+    substring match on the lowercased text (so 'merge' also highlights
+    'merges'); token-exact filtering belongs to the match query that
+    produced the doc list."""
+    low = F.lower(F.col(text_col))
+    cands = [F.struct(
+        F.locate(t, low).alias("pos"), F.lit(i).alias("ord"),
+        F.lit(t).alias("term"))
+        for i, t in enumerate(terms)]
+    # min over (pos, ord) among pos>0 = earliest occurrence, list-order tie
+    hit = F.array_min(F.filter(F.array(*cands), lambda c: c["pos"] > 0))
+    start = F.greatest(F.lit(1), hit["pos"] - F.lit(window))
+    length = F.length(hit["term"]) + F.lit(2 * window)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      hit.alias("_h"),
+                      F.substring(F.col(text_col), start, length)
+                      .alias("snippet"))
+            .filter(F.col("_h").isNotNull())
+            .select("doc_id", F.col("_h.term").alias("matched_term"),
+                    (F.col("_h.pos") - 1).cast("long").alias("offset"),
+                    "snippet"))
+
+
 def boolean_match_df(
     df: DataFrame, id_col: str, text_col: str,
     all_of: Sequence[str] = (), any_of: Sequence[str] = (),

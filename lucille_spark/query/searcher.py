@@ -140,6 +140,35 @@ class IndexSearcher:
         node = self._parse(query)
         return self._resolve(self._score_candidates(node, k))
 
+    def facet(self, query: str, facet_field: str,
+              size: int = 10) -> List[Tuple[str, int]]:
+        """Solr-style field facet over the query's boolean matches:
+        [(term, count)] sorted by count desc then term asc, capped at
+        ``size`` (Solr's facet.limit; the reference gets faceting from the
+        Solr it delegates to). Counts are LIVE matching docs per facet
+        term, computed as sorted-array intersections between each facet
+        term's postings and the match set — the facet field's lexicon is
+        one row-group-pruned range scan, no corpus scan."""
+        node = self._parse(query)
+        matches = self._matching(node).materialize(
+            self.reader.ord_span(), self.tombstones)
+        if matches.size == 0:
+            return []
+        out = []
+        for term in self.reader.terms_in_range(facet_field, None, None,
+                                               limit=1 << 20):
+            docs, _, _ = self._term_postings(facet_field, term)
+            if docs.size == 0:
+                continue
+            docs = docs.astype(np.int64)
+            pos = np.searchsorted(matches, docs)
+            ok = pos < matches.size
+            n = int((matches[pos[ok]] == docs[ok]).sum())
+            if n:
+                out.append((term, n))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:size]
+
     def match(self, query: str) -> List[str]:
         """Percolator-style boolean matching: sorted doc_ids."""
         node = self._parse(query)

@@ -591,3 +591,44 @@ def test_sloppy_phrase_three_planes_agree(spark, tmp_path):
                                                              "3", "6"}
     # "beta q q q alpha": q_alpha = 4, q_beta = -1 -> width 5
     assert "7" in set(oi.match_query('content:"alpha beta"~5'))
+
+
+# -------------------------------------- faceting + snippets (query plane)
+def test_searcher_facet_matches_df_twin(spark, index_dir):
+    """IndexSearcher.facet (postings intersections) must agree with the
+    corpus-side facet_counts_df on the same boolean condition."""
+    from lucille_spark.corpus import corpus_df
+    from lucille_spark.query.executor_df import facet_counts_df
+    from lucille_spark.query.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir, "content")
+    got = s.facet("content:return OR content:import", "lang", size=10)
+    corpus = corpus_df(spark, 1000, partitions=4).withColumnRenamed(
+        "content", "text")
+    want = [(r.facet_value, r.n) for r in
+            facet_counts_df(corpus, "text", "lang",
+                            any_of=["return", "import"],
+                            size=10).collect()]
+    assert got == want
+    assert sum(n for _, n in got) > 0
+    # counts are sorted desc, ties by value asc
+    assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_snippets_df_window_and_tiebreak(spark):
+    from lucille_spark.query.executor_df import snippets_df
+
+    rows = [(1, "x" * 50 + " merge lives here " + "y" * 50),
+            (2, "vector first then merge later"),
+            (3, "nothing relevant at all"),
+            (4, "Merge capitalized start")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           snippets_df(df, "doc_id", "text", ["merge", "vector"],
+                       window=10).collect()}
+    assert 3 not in out
+    assert out[1].matched_term == "merge"
+    assert "merge" in out[1].snippet and len(out[1].snippet) <= 25
+    assert out[2].matched_term == "vector" and out[2].offset == 0
+    assert out[4].matched_term == "merge" and out[4].offset == 0
+    assert out[4].snippet.startswith("Merge")  # original casing preserved
