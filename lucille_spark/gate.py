@@ -1880,6 +1880,41 @@ def multimodal_features(spark, sf_dir):
                         .cast("string")), "_").alias("feature"))
 
 
+_MLT_TERMS = ["merge", "hash", "join", "sort", "window", "vector"]
+
+_MLT_SQL = _WAND_PREFIX_SQL.replace(
+    """terms AS (
+  SELECT DISTINCT t AS term FROM d, unnest(toks) AS u(t)
+  WHERE t LIKE 's%' ORDER BY term LIMIT 128
+),""",
+    f"""cand AS (SELECT unnest({_MLT_TERMS!r}) AS term),
+cand_df AS (
+  SELECT c.term,
+         CAST(SUM(CASE WHEN len(list_filter(d.toks, x -> x = c.term)) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS df0
+  FROM cand c CROSS JOIN d GROUP BY c.term
+),
+terms AS (SELECT term FROM cand_df WHERE df0 >= 2),""")
+
+
+@register("mlt_top10", sql=_MLT_SQL)
+def mlt_top10(spark, sf_dir):
+    """MoreLikeThis through the FULL engine path: like-text's terms rank
+    by tf*idf against the index stats, terms under minDocFreq=2 drop,
+    survivors run as a BM25 OR under block-max WAND
+    (searcher.more_like_this). The like-text here has <= max_query_terms
+    distinct terms, so the oracle's selection is exactly the df>=2 filter
+    (the tf*idf cap itself is pytest-covered); scoring is the same
+    boolean rewrite every multi-term query uses."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    hits = IndexSearcher(idx).more_like_this(" ".join(_MLT_TERMS), k=10)
+    rows = [(doc_id, i + 1, round(score, 4))
+            for i, (doc_id, score) in enumerate(hits)]
+    return spark.createDataFrame(rows, "doc_id string, rank long, score double")
+
+
 @register("facet_counts", sql="""
 WITH t AS (
   SELECT lang,

@@ -169,7 +169,43 @@ class IndexSearcher:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:size]
 
-    def match(self, query: str) -> List[str]:
+    def more_like_this(self, like_text: str, k: int = 10,
+                       max_query_terms: int = 25,
+                       min_doc_freq: int = 2,
+                       exclude_doc_id: Optional[str] = None
+                       ) -> List[Tuple[str, float]]:
+        """Lucene MoreLikeThis over like-text (MLT.like(Reader)): extract
+        the text's highest tf*idf terms against THIS index's statistics
+        and run them as a BM25 OR (MLT's scoring-boolean rewrite).
+        Deterministic selection: terms ranked by tf*idf desc then term
+        asc, capped at ``max_query_terms`` (MLT's default 25); terms with
+        df < ``min_doc_freq`` are skipped (MLT minDocFreq — near-hapax
+        terms say nothing about similarity) and out-of-vocabulary terms
+        contribute nothing. Per-term cost is one lexicon point lookup —
+        no posting decode until the final query runs. Pass
+        ``exclude_doc_id`` to drop the source document when the text came
+        from an indexed doc."""
+        from collections import Counter
+
+        from lucille_spark.analysis import tokenize_py
+
+        field = self.default_field
+        n = self.reader.n_docs(field)
+        scored_terms = []
+        for term, tf in Counter(tokenize_py(like_text)).items():
+            info = self.reader.term_info(field, term)
+            if info is None or info["df"] < min_doc_freq:
+                continue
+            idf = math.log(1.0 + (n - info["df"] + 0.5)
+                           / (info["df"] + 0.5))
+            scored_terms.append((-float(tf) * idf, term))
+        scored_terms.sort()
+        terms = sorted(t for _, t in scored_terms[:max_query_terms])
+        if not terms:
+            return []
+        q = " OR ".join(f"{field}:{t}" for t in terms)
+        hits = self.search(q, k + (1 if exclude_doc_id else 0))
+        return [(d, s) for d, s in hits if d != exclude_doc_id][:k]
         """Percolator-style boolean matching: sorted doc_ids."""
         node = self._parse(query)
         ords = self._matching(node).materialize(

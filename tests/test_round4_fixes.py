@@ -632,3 +632,27 @@ def test_snippets_df_window_and_tiebreak(spark):
     assert out[2].matched_term == "vector" and out[2].offset == 0
     assert out[4].matched_term == "merge" and out[4].offset == 0
     assert out[4].snippet.startswith("Merge")  # original casing preserved
+
+
+# ------------------------------------------------- MoreLikeThis (Lucene MLT)
+def test_more_like_this_finds_similar_docs(index_dir, tiny_corpus_pdf):
+    """MLT over like-text: feeding a real document's text back must rank
+    near-identical docs at the top and exclude the source when asked."""
+    import hashlib
+
+    from lucille_spark.query.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir, "content")
+    row = tiny_corpus_pdf.iloc[5]
+    src_id = hashlib.sha256(
+        f"{row.repo}\x00{row.path}\x00{row.commit}".encode()).hexdigest()
+    hits = s.more_like_this(row.content, k=5)
+    assert hits and hits[0][0] == src_id  # the doc itself is most similar
+    excl = s.more_like_this(row.content, k=5, exclude_doc_id=src_id)
+    assert src_id not in [d for d, _ in excl] and len(excl) == 5
+
+    # term selection: max_query_terms caps by tf*idf, min_doc_freq drops
+    # out-of-vocabulary / near-hapax terms without erroring
+    assert s.more_like_this("zzz qqq notinvocab", k=5) == []
+    few = s.more_like_this(row.content, k=5, max_query_terms=3)
+    assert few  # still answers with a 3-term query
