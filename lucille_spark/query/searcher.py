@@ -206,6 +206,8 @@ class IndexSearcher:
         q = " OR ".join(f"{field}:{t}" for t in terms)
         hits = self.search(q, k + (1 if exclude_doc_id else 0))
         return [(d, s) for d, s in hits if d != exclude_doc_id][:k]
+
+    def match(self, query: str) -> List[str]:
         """Percolator-style boolean matching: sorted doc_ids."""
         node = self._parse(query)
         ords = self._matching(node).materialize(

@@ -375,10 +375,11 @@ def test_prefix_query_parse_and_expand():
     assert parse("SPA*") == Prefix("content", "spa", 1.0)  # lowercased
     boosted = parse("content:spa*^2")
     assert boosted == Prefix("content", "spa", 2.0)
-    with pytest.raises(QueryParseError):
-        parse("content:*abc")          # leading star unsupported
-    with pytest.raises(QueryParseError):
-        parse("content:a*b")           # mid-token star unsupported
+    # r4: leading/mid-token stars are now first-class Wildcard nodes
+    from lucille_spark.query.parser import Wildcard
+
+    assert parse("content:*abc") == Wildcard("content", "*abc", 1.0)
+    assert parse("content:a*b") == Wildcard("content", "a*b", 1.0)
 
     exp = expand_prefixes(node, lambda f, p: ["spark", "spam", "spat"])
     assert isinstance(exp, Or)
