@@ -555,11 +555,14 @@ tokdict AS (
 # Rabin-Karp polynomial hash acc = (acc*R + code) % P replayed with the
 # SAME integer arithmetic in DuckDB — so the gate-verified dedup plans are
 # the no-dictionary, no-join, no-global-sort ones (VERDICT r3 #1).
-_POLY_TID_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(range(1, len(term)+1), "
-    "i -> CAST(ascii(substr(term, i, 1)) AS BIGINT))), "
-    "(acc, c) -> (acc * 1000003 + c) % 2147483647)")
+def _poly_tid_sql(expr: str = "term") -> str:
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(range(1, len({expr})+1), "
+            f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+            "(acc, c) -> (acc * 1000003 + c) % 2147483647)")
+
+
+_POLY_TID_SQL = _poly_tid_sql()
 
 
 @register("dedup_exact", sql="""
@@ -1970,6 +1973,34 @@ def text_snippets(spark, sf_dir):
 
     return snippets_df(_docs(spark, sf_dir), "doc_id", "text",
                        ["merge", "vector"], window=30)
+
+
+@register("text_weighted_sample", sql=f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         (({_poly_tid_sql("CAST(doc_id AS VARCHAR)")})
+          * 48271) % 2147483647 % 10000 AS bk
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 10000
+                     WHEN 'zh' THEN 5000
+                     WHEN 'de' THEN 2000
+                     ELSE 500 END
+""")
+def text_weighted_sample(spark, sf_dir):
+    """Deterministic dataset mixing (ml/sampling.weighted_sample): keep
+    100% of en, 50% of zh, 20% of de, 5% of everything else —
+    membership is a pure function of the doc id (the same polynomial
+    hash the dedup plane uses), so the mix is reproducible at any
+    parallelism, shuffle-free, and exactly replayed by this oracle.
+    Nested-by-construction: the 20% sample is a subset of the 50% one."""
+    from lucille_spark.ml.sampling import weighted_sample
+
+    out = weighted_sample(_docs(spark, sf_dir), "doc_id", "lang",
+                          {"en": 1.0, "zh": 0.5, "de": 0.2},
+                          default_rate=0.05)
+    return out.select("doc_id", "lang")
 
 
 @register("zz_registry_sentinel", sql="""

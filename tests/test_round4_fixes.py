@@ -656,3 +656,33 @@ def test_more_like_this_finds_similar_docs(index_dir, tiny_corpus_pdf):
     assert s.more_like_this("zzz qqq notinvocab", k=5) == []
     few = s.more_like_this(row.content, k=5, max_query_terms=3)
     assert few  # still answers with a 3-term query
+
+
+# ----------------------------- deterministic sampling / dataset mixing
+def test_deterministic_sample_nested_and_stable(spark):
+    from lucille_spark.ml.sampling import deterministic_sample, weighted_sample
+
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b")
+                                for i in range(2000)],
+                               "doc_id long, lang string")
+    s20 = {r.doc_id for r in
+           deterministic_sample(df, "doc_id", 0.2).collect()}
+    s50 = {r.doc_id for r in
+           deterministic_sample(df, "doc_id", 0.5).collect()}
+    assert s20 <= s50                       # nested by construction
+    assert 0.12 < len(s20) / 2000 < 0.28    # ~rate
+    assert 0.42 < len(s50) / 2000 < 0.58
+    # stable across runs and repartitioning
+    again = {r.doc_id for r in deterministic_sample(
+        df.repartition(7), "doc_id", 0.2).collect()}
+    assert again == s20
+    # no shuffle in the plan
+    plan = deterministic_sample(df, "doc_id", 0.2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    w = weighted_sample(df, "doc_id", "lang", {"a": 1.0}, default_rate=0.0)
+    got = {r.doc_id for r in w.collect()}
+    assert got == {i for i in range(2000) if i % 2}  # all a, no b
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", 1.5)
