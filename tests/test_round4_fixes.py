@@ -686,3 +686,91 @@ def test_deterministic_sample_nested_and_stable(spark):
     assert got == {i for i in range(2000) if i % 2}  # all a, no b
     with pytest.raises(ValueError):
         deterministic_sample(df, "doc_id", 1.5)
+
+
+# ------------------------------- property tests for the new matchers (r4)
+def test_sloppy_window_property_vs_bruteforce():
+    """The two-pointer window matcher must equal the brute-force
+    all-assignments check on random occurrence sets."""
+    from itertools import product
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucille_spark.query.searcher import _sloppy_window_exists
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.lists(st.integers(0, 20), min_size=1, max_size=4),
+                 min_size=2, max_size=4),
+        st.integers(0, 6))
+    def check(per_term_positions, slop):
+        n = len(per_term_positions)
+        events = sorted((p - i, i)
+                        for i, ps in enumerate(per_term_positions)
+                        for p in ps)
+        got = _sloppy_window_exists([q for q, _ in events],
+                                    [l for _, l in events], n, slop)
+        want = any(
+            max(p[i] - i for i in range(n)) - min(p[i] - i
+                                                  for i in range(n)) <= slop
+            for p in product(*per_term_positions))
+        assert got == want, (per_term_positions, slop)
+
+    check()
+
+
+def test_wildcard_expansion_property_vs_fnmatch():
+    """The wildcard expansion contract (oracle twin of
+    reader.terms_wildcard — the reader's prefix-pruned Arrow path is
+    checked against this same oracle by the rank-identity suites) must
+    equal a plain fnmatch filter over the whole dictionary, for
+    arbitrary patterns over the analyzer alphabet."""
+    import fnmatch
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucille_spark.query.oracle import OracleIndex
+
+    vocab = sorted({f"t{i:02d}" for i in range(40)}
+                   | {"alpha", "beta", "a1_x", "zz", "a", "ab", "abc"})
+
+    oi = OracleIndex([{"id": str(i), "content": " ".join(vocab)}
+                      for i in range(2)], fields=("content",))
+
+    alphabet = st.sampled_from(list("abct01z*?_"))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(alphabet, min_size=1, max_size=6))
+    def check(chars):
+        pattern = "".join(chars)
+        got = oi.terms_wildcard("content", pattern)
+        want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pattern))
+        assert got == want, pattern
+
+    check()
+
+
+def test_range_expansion_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucille_spark.query.oracle import OracleIndex
+
+    vocab = sorted(f"w{i:02d}" for i in range(30))
+    oi = OracleIndex([{"id": "1", "content": " ".join(vocab)}],
+                     fields=("content",))
+    word = st.one_of(st.none(), st.sampled_from(vocab + ["a", "zzz"]))
+
+    @settings(max_examples=200, deadline=None)
+    @given(word, word, st.booleans(), st.booleans())
+    def check(lo, hi, il, iu):
+        got = oi.terms_in_range("content", lo, hi, il, iu)
+        want = sorted(
+            t for t in vocab
+            if (lo is None or (t > lo or (il and t == lo)))
+            and (hi is None or (t < hi or (iu and t == hi))))
+        assert got == want, (lo, hi, il, iu)
+
+    check()
