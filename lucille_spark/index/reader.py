@@ -133,10 +133,23 @@ class IndexReader:
             os.path.join(index_dir, "doc_stats"),
             ignore_prefixes=[".", "_"]))
         # corpus_stats is driver-rewritten by merges (rmtree -> write);
-        # ride out the window instead of failing construction
-        stats = _retry_fnf(lambda: ds.dataset(
-            os.path.join(index_dir, "corpus_stats"),
-            ignore_prefixes=[".", "_"]).to_table())
+        # ride out the window instead of failing construction. The window
+        # has TWO shapes: the dir is briefly absent (FileNotFoundError,
+        # handled by _retry_fnf) or it exists holding only the writer's
+        # dot-prefixed temp file, in which case the dataset reads as an
+        # EMPTY/field-less table — treat that as retryable too, or the
+        # reader silently constructs with stats == {} and every later
+        # n_docs/idf/avgdl lookup raises KeyError
+        def _read_corpus_stats():
+            t = ds.dataset(
+                os.path.join(index_dir, "corpus_stats"),
+                ignore_prefixes=[".", "_"]).to_table()
+            if t.num_rows == 0 or "field" not in t.schema.names:
+                raise FileNotFoundError(
+                    "corpus_stats mid-rewrite (empty/field-less read)")
+            return t
+
+        stats = _retry_fnf(_read_corpus_stats)
         self.stats = {
             r["field"]: r for r in stats.to_pylist()
         }
@@ -308,7 +321,13 @@ class IndexReader:
             columns=["term"])
         terms = t["term"].to_pylist()
         survivors = terms
-        if terms:
+        # byte-level bag distance is only a valid lower bound when the
+        # QUERY is pure ASCII: a multi-byte query char inflates the query
+        # histogram and could wrongly prune an ASCII term within the edit
+        # bound (e.g. 'café'~1 vs dictionary 'cafe': char lev 1, byte bag
+        # 2). Skip the prefilter entirely for non-ASCII queries and run
+        # the banded DP on all length-band survivors.
+        if terms and text.isascii():
             # bag distance: count chars into 128 ASCII bins (analyzer
             # alphabet is ASCII; anything else folds into bin 127), then
             # lev >= max(sum(pos diff), sum(neg diff)) per term
@@ -325,9 +344,10 @@ class IndexReader:
             diff = hist - qh[None, :]
             bag = np.maximum(np.where(diff > 0, diff, 0).sum(axis=1),
                              np.where(diff < 0, -diff, 0).sum(axis=1))
-            # byte-level bag distance over-counts multi-byte chars, so
-            # non-ASCII terms bypass the prefilter (analyzer output is
-            # ASCII in practice; this keeps the bound sound regardless)
+            # byte-level bag distance over-counts multi-byte chars in the
+            # TERM direction too, so non-ASCII terms bypass the prefilter
+            # (with the ASCII-query guard above, the bound is now
+            # unconditionally sound)
             survivors = [s for s, b in zip(terms, bag)
                          if b <= max_edits or not s.isascii()]
         self._fuzzy_stats = {"banded": len(terms),

@@ -50,7 +50,10 @@ def deterministic_sample(df: DataFrame, id_col: str,
     shuffle-free, nested across rates."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(_bucket(id_col) < int(rate * _BUCKETS))
+    # round(), not int(): float error makes 0.29 * 10000 == 2899.999...,
+    # and truncation would under-sample by one bucket (and disagree with
+    # any oracle that computes the threshold exactly)
+    return df.filter(_bucket(id_col) < round(rate * _BUCKETS))
 
 
 def weighted_sample(df: DataFrame, id_col: str, part_col: str,
@@ -65,8 +68,8 @@ def weighted_sample(df: DataFrame, id_col: str, part_col: str,
     for k, v in weights.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"weight for {k!r} must be in [0, 1], got {v}")
-    rate = F.lit(int(default_rate * _BUCKETS))
+    rate = F.lit(round(default_rate * _BUCKETS))
     for k in sorted(weights):
         rate = F.when(F.col(part_col) == F.lit(k),
-                      F.lit(int(weights[k] * _BUCKETS))).otherwise(rate)
+                      F.lit(round(weights[k] * _BUCKETS))).otherwise(rate)
     return df.filter(_bucket(id_col) < rate)

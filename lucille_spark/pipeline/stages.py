@@ -800,7 +800,11 @@ class ChunkText(Stage):
     abbreviation ("Dr.", "e.g.", "No." — see ``abbreviations``), after a
     single-capital initial ("J. K. Rowling"), or inside decimals (no
     whitespace follows the dot). Deviation documented in COVERAGE.md:
-    abbreviation-list coverage, not a trained model.
+    abbreviation-list coverage, not a trained model. Known false
+    negative of the initial guard: ANY word ending in a standalone
+    capital suppresses the break ("low on vitamin D. Next..." never
+    splits) — locally indistinguishable from an initial without a
+    trained model; the two sentences merge rather than mis-split.
 
     Post-split pipeline, applied in the reference's exact order
     (ChunkText.java:199-228):
@@ -1119,6 +1123,9 @@ class MatchQuery(Stage):
     Here the parsed ASTs compile to JVM boolean Column expressions over the
     tokenized fields (arrays_overlap / array_contains / phrase windows) —
     the percolation of ALL queries happens in one codegen'd pass, no Python.
+    Multi-term nodes (prefix/wildcard/range/fuzzy) need no dictionary
+    expansion in the percolator: doc-level semantics is "some token of
+    THIS doc matches", one ``F.exists`` over the token array.
     """
     queries: Dict[str, str] = dc_field(default_factory=dict)
     fields: Sequence[str] = ("content",)
@@ -1127,8 +1134,9 @@ class MatchQuery(Stage):
 
     def _node_pred(self, node, df):
         from lucille_spark.analysis import tokenize_col
-        from lucille_spark.query.parser import (And, MatchAll, Not, Or,
-                                                Phrase, Term)
+        from lucille_spark.query.parser import (And, Fuzzy, MatchAll, Not,
+                                                Or, Phrase, Prefix, Term,
+                                                TermRange, Wildcard)
 
         def toks(fld):
             if fld not in df.columns:
@@ -1144,6 +1152,55 @@ class MatchQuery(Stage):
             # coalesce: a NULL field must read as "no match", not SQL NULL
             # (three-valued logic would otherwise poison NOT/AND above)
             return F.coalesce(F.array_contains(t, node.text), F.lit(False))
+        # multi-term nodes: the index plane expands these against the term
+        # DICTIONARY (expand_prefixes); the percolator has no dictionary,
+        # but the equivalent doc-level semantics is "any of THIS doc's
+        # tokens matches the pattern" — one F.exists over the token array,
+        # fully JVM-side (no expansion set to materialize at all)
+        if isinstance(node, Prefix):
+            t = toks(node.field)
+            if t is None:
+                return F.lit(False)
+            return F.coalesce(
+                F.exists(t, lambda x: x.startswith(node.text)),
+                F.lit(False))
+        if isinstance(node, Wildcard):
+            t = toks(node.field)
+            if t is None:
+                return F.lit(False)
+            # `?` = one char, `*` = any run; everything else literal
+            # (Java-regex-safe: escape, then swap the metachars back)
+            import re as _re
+            rx = "(?s)" + _re.escape(node.pattern).replace(
+                r"\*", ".*").replace(r"\?", ".") + "$"
+            return F.coalesce(F.exists(t, lambda x: x.rlike(rx)),
+                              F.lit(False))
+        if isinstance(node, TermRange):
+            t = toks(node.field)
+            if t is None:
+                return F.lit(False)
+
+            def in_range(x):
+                p = F.lit(True)
+                if node.lower is not None:
+                    lo = F.lit(node.lower)
+                    p = p & ((x >= lo) if node.include_lower else (x > lo))
+                if node.upper is not None:
+                    hi = F.lit(node.upper)
+                    p = p & ((x <= hi) if node.include_upper else (x < hi))
+                return p
+
+            return F.coalesce(F.exists(t, in_range), F.lit(False))
+        if isinstance(node, Fuzzy):
+            t = toks(node.field)
+            if t is None:
+                return F.lit(False)
+            # plain Levenshtein, matching the index plane's documented
+            # deviation (transpositions cost 2); JVM levenshtein()
+            return F.coalesce(
+                F.exists(t, lambda x: F.levenshtein(
+                    x, F.lit(node.text)) <= F.lit(node.max_edits)),
+                F.lit(False))
         if isinstance(node, Phrase):
             t = toks(node.field)
             if t is None:
@@ -1174,7 +1231,11 @@ class MatchQuery(Stage):
             for c in neg:
                 out = out & ~self._node_pred(c.child, df)
             return out
-        raise TypeError(f"unknown node {node!r}")
+        from lucille_spark.query.parser import QueryParseError
+        raise QueryParseError(
+            f"MatchQuery does not support {type(node).__name__} nodes "
+            f"({node!r}); supported: Term/Phrase (incl. sloppy)/Prefix/"
+            f"Wildcard/TermRange/Fuzzy/MatchAll and AND/OR/NOT")
 
     def apply(self, df):
         from lucille_spark.query.parser import parse
