@@ -422,6 +422,33 @@ class IndexReader:
         self._decode_cache[key] = out
         return out
 
+    def doc_values(self, field: str,
+                   ords: np.ndarray) -> Optional[np.ndarray]:
+        """Doc-values analogue (Lucene SortedDocValues): the stored
+        single-valued field column for the given SORTED doc ords, aligned
+        to them. doc_stats is written in doc_ord order, so the range
+        filter prunes to the row groups covering the match span — one
+        projected sequential read of two columns, never a per-term
+        posting decode. Returns None when the field isn't stored (the
+        caller falls back to postings)."""
+        if ords.size == 0:
+            return np.empty(0, dtype=object)
+        if field not in self._doc_stats.schema.names:
+            return None
+        lo, hi = int(ords[0]), int(ords[-1])
+        t = _retry_fnf(lambda: self._doc_stats.to_table(
+            filter=(ds.field("doc_ord") >= lo)
+            & (ds.field("doc_ord") <= hi),
+            columns=["doc_ord", field]))
+        do = np.asarray(t["doc_ord"].to_pylist(), dtype=np.int64)
+        order = np.argsort(do, kind="stable")
+        do = do[order]
+        vals = np.asarray(t[field].to_pylist(), dtype=object)[order]
+        pos = np.searchsorted(do, ords)
+        pos_c = np.minimum(pos, max(do.size - 1, 0))
+        ok = (pos < do.size) & (do[pos_c] == ords)
+        return vals[pos_c[ok]]
+
     def doc_ids_for_ords(self, ords: List[int]) -> Dict[int, str]:
         if not ords:
             return {}

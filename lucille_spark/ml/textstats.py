@@ -134,6 +134,25 @@ LANG_PROFILES: Dict[str, Sequence[str]] = {
     "sv": ("och", "att", "det", "som", "av", "den"),
     "pl": ("nie", "jest", "to", "na", "czy", "ale"),
     "id": ("yang", "dan", "di", "itu", "dengan", "untuk"),
+    # round 5 (VERDICT r4 next-round #5): the next ten Latin-script
+    # languages the cybozu langdetect the reference bundles would have
+    # covered (stage/DetectLanguage.java:3-5). Still ASCII-only words —
+    # the analyzer alphabet is [a-z0-9_]+, so diacritic stopwords can
+    # never match a token; each profile leans on its language's
+    # most-frequent fully-ASCII function words. Danish/Norwegian stay
+    # hard to tell apart (they share most function words; af-vs-av is
+    # the main ASCII discriminator) — the bundled langdetect has the
+    # same documented weakness.
+    "da": ("og", "er", "det", "af", "til", "ikke", "som"),
+    "no": ("og", "er", "det", "av", "til", "ikke", "som"),
+    "fi": ("ja", "on", "ei", "se", "joka", "mutta"),
+    "cs": ("je", "se", "na", "to", "ale", "jsem", "jako"),
+    "hu": ("az", "hogy", "nem", "egy", "van", "meg", "mint"),
+    "ro": ("de", "la", "cu", "este", "nu", "pentru", "care"),
+    "tr": ("ve", "bir", "bu", "ile", "olarak", "daha", "ne"),
+    "hr": ("je", "i", "u", "se", "da", "su", "kao"),
+    "ca": ("el", "la", "de", "que", "i", "per", "amb"),
+    "et": ("ja", "on", "ei", "et", "oli", "ta", "see"),
 }
 
 

@@ -5,17 +5,24 @@ reference's fixtures exercise is implemented from scratch).
 
 Supported selector grammar (ApplyJSoupTest fixtures: css.conf `.class`,
 `[name=name]`, `#id`; extract-attributes.conf `a` + attribute type;
-round 4 adds the child combinator and class-list attribute matching):
+round 4 adds the child combinator and class-list attribute matching;
+round 5 adds the sibling combinators):
 
-    chain  := simple ((WS | WS? '>' WS?) simple)*   # descendant / child
+    chain  := simple (comb simple)*
+    comb   := WS | WS? ('>' | '+' | '~') WS?   # descendant/child/adjacent/general sibling
     simple := [tag|*] [#id] (.class)* ([attr] | [attr=value] | [attr~=value])*
 
 `A > B` matches B whose PARENT matches A (jsoup child combinator);
-`[attr~=value]` matches when value is a whitespace-separated word of the
-attribute (the class-list semantics of CSS ~=). Chain matching uses a
-proper backtracking walk over open ancestors, so mixed descendant/child
-chains resolve correctly (greedy-nearest-ancestor is wrong for `A > B C`
-when several ancestors match B).
+`A + B` matches B whose immediately-preceding ELEMENT sibling matches A
+(text/comment nodes don't break adjacency, per CSS); `A ~ B` matches B
+with ANY preceding element sibling matching A. `[attr~=value]` matches
+when value is a whitespace-separated word of the attribute (the
+class-list semantics of CSS ~=). Chain matching uses a proper
+backtracking walk over open ancestors AND per-depth closed-sibling
+history, so mixed chains like `ul > li + li em` resolve correctly
+(greedy-nearest binding is wrong when several candidates match).
+Remaining out of grammar: `:nth-*` and other pseudo-classes
+(htmlsel.py boundary, COVERAGE.md).
 
 Extraction types per ApplyJSoup.java destinationFields:
     text      — element.text(): subtree text, whitespace-normalized
@@ -49,22 +56,44 @@ _IMPLICIT_CLOSE = {
 }
 
 
+_COMBINATORS = {">": "child", "+": "adjacent", "~": "general"}
+
+
+def _space_combinators(sel: str) -> str:
+    """Surround top-level `>` `+` `~` with spaces so the chain splits on
+    whitespace. `~` inside `[attr~=value]` brackets is attribute syntax,
+    not a combinator — tracked via bracket depth."""
+    out = []
+    depth = 0
+    for ch in sel:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if depth == 0 and ch in _COMBINATORS:
+            out.append(f" {ch} ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def parse_selector(sel: str) -> List[tuple]:
     """Compile a selector chain to [(simple, combinator), ...] where
     ``combinator`` relates the simple to its LEFT neighbour: 'descendant'
-    (whitespace) or 'child' ('>'); the first entry's combinator is None.
-    Raises ValueError on unsupported syntax."""
-    parts = re.sub(r"\s*>\s*", " > ", sel).split()
+    (whitespace), 'child' ('>'), 'adjacent' ('+') or 'general' ('~');
+    the first entry's combinator is None. Raises ValueError on
+    unsupported syntax."""
+    parts = _space_combinators(sel).split()
     if not parts:
         raise ValueError("empty selector")
     out = []
     comb = None
     expect_simple = True
     for p in parts:
-        if p == ">":
-            if expect_simple or comb == "child":
-                raise ValueError(f"misplaced '>' in selector {sel!r}")
-            comb = "child"
+        if p in _COMBINATORS:
+            if expect_simple or comb is not None:
+                raise ValueError(f"misplaced {p!r} in selector {sel!r}")
+            comb = _COMBINATORS[p]
             continue
         m = _SIMPLE.match(p)
         if not m or (not m.group(1) and not m.group(2) and not m.group(3)
@@ -86,8 +115,8 @@ def parse_selector(sel: str) -> List[tuple]:
         out.append((simple, None if not out else (comb or "descendant")))
         comb = None
         expect_simple = False
-    if comb == "child":
-        raise ValueError(f"dangling '>' in selector {sel!r}")
+    if comb is not None:
+        raise ValueError(f"dangling combinator in selector {sel!r}")
     return out
 
 
@@ -113,21 +142,37 @@ def _match_simple(el, s) -> bool:
     return True
 
 
-def _chain_match(stack, chain) -> bool:
+def _chain_match(stack, sibs, chain) -> bool:
     """True when the chain matches with stack[-1] as the subject.
     Backtracking right-to-left walk: descendant steps may bind to ANY
-    ancestor, child steps to the immediate parent only."""
+    ancestor, child steps to the immediate parent only; sibling steps
+    ('+' adjacent / '~' general) bind to the subject's already-CLOSED
+    preceding element siblings, recorded per depth in ``sibs``
+    (sibs[i] = closed element children of stack[i]'s container, i.e.
+    the preceding siblings of stack[i]). A sibling binding keeps the
+    same ancestor path, so chains like `li + li em` and `A ~ B > C`
+    compose with the ancestor walk."""
 
-    def ok(ci: int, si: int) -> bool:
-        if not _match_simple(stack[si], chain[ci][0]):
+    def ok(ci: int, si: int, elem, preceding) -> bool:
+        if not _match_simple(elem, chain[ci][0]):
             return False
         if ci == 0:
             return True
-        if chain[ci][1] == "child":
-            return si > 0 and ok(ci - 1, si - 1)
-        return any(ok(ci - 1, sj) for sj in range(si - 1, -1, -1))
+        comb = chain[ci][1]
+        if comb == "child":
+            return si > 0 and ok(ci - 1, si - 1, stack[si - 1],
+                                 sibs[si - 1])
+        if comb == "adjacent":
+            return bool(preceding) and ok(ci - 1, si, preceding[-1],
+                                          preceding[:-1])
+        if comb == "general":
+            return any(ok(ci - 1, si, preceding[j], preceding[:j])
+                       for j in range(len(preceding) - 1, -1, -1))
+        return any(ok(ci - 1, sj, stack[sj], sibs[sj])
+                   for sj in range(si - 1, -1, -1))
 
-    return ok(len(chain) - 1, len(stack) - 1)
+    top = len(stack) - 1
+    return ok(len(chain) - 1, top, stack[top], sibs[top])
 
 
 class _Selector(HTMLParser):
@@ -135,13 +180,19 @@ class _Selector(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.chain, self.typ, self.attr = chain, typ, attr
         self.stack: list = []      # open (tag, attrs)
+        # containers[d] = closed element children of the container at
+        # depth d (d=0 is the document root; d=len(stack) is the open
+        # top element). While stack[i] is open nothing can be appended
+        # to containers[i], so containers[i] IS stack[i]'s
+        # preceding-sibling list — no snapshotting needed.
+        self.containers: list = [[]]
         self.active: list = []     # open matched records
         self.results: dict = {}    # idx -> value (document order)
         self._n = 0
 
     # --- match helpers ---------------------------------------------------
     def _matches(self) -> bool:
-        return _chain_match(self.stack, self.chain)
+        return _chain_match(self.stack, self.containers, self.chain)
 
     # --- events ----------------------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -152,6 +203,7 @@ class _Selector(HTMLParser):
         for rec in self.active:
             rec["html"].append(raw)
         self.stack.append((tag, attrs))
+        self.containers.append([])
         if self._matches():
             idx = self._n
             self._n += 1
@@ -191,7 +243,9 @@ class _Selector(HTMLParser):
                 else:
                     still.append(rec)
             self.active = still
-            self.stack.pop()
+            closed = self.stack.pop()
+            self.containers.pop()
+            self.containers[-1].append(closed)   # now a preceding sibling
             if len(self.stack) >= new_len and self.stack:
                 for rec in self.active:
                     rec["html"].append(end_raw)

@@ -236,6 +236,66 @@ def snippets_df(df: DataFrame, id_col: str, text_col: str,
                     "snippet"))
 
 
+def snippets_multi_df(df: DataFrame, id_col: str, text_col: str,
+                      terms: Sequence[str], window: int = 30,
+                      n_frags: int = 3) -> DataFrame:
+    """Multi-fragment highlighting (Solr ``hl.snippets=N``): up to
+    ``n_frags`` fragments per doc covering ALL occurrences of all matched
+    terms, earliest-first — (doc_id, frag, matched_term, offset, snippet).
+
+    Occurrence enumeration is a split-scan, fully JVM-side: splitting the
+    lowercased text on the literal term yields segments whose cumulative
+    lengths are exactly the left-to-right non-overlapping match positions
+    (one F.aggregate prefix scan per term, no Python). Fragments sort by
+    (position, term list order) — the same deterministic tie-break as
+    :func:`snippets_df`, which remains the N=1 fast path. The DuckDB gate
+    oracle replays the identical scan with string_split + a window prefix
+    sum, so every occurrence window is SQL-reproducible."""
+    import re as _re
+
+    low = F.lower(F.col(text_col))
+
+    def occurrences(t: str, i: int):
+        lit = F.lit(t)
+        segs = F.split(low, _re.escape(t), -1)
+        body = F.slice(segs, 1, F.size(segs) - 1)   # all but last segment
+        acc0 = F.struct(
+            F.lit(0).cast("int").alias("cur"),
+            F.array().cast("array<int>").alias("ps"))
+        # scan: pos_k = cursor + len(seg_k) + 1 (1-based); cursor jumps
+        # past the matched term (non-overlapping, left-to-right)
+        step = lambda acc, seg: F.struct(  # noqa: E731
+            (acc["cur"] + F.length(seg) + F.length(lit)).cast("int")
+            .alias("cur"),
+            F.array_append(
+                acc["ps"],
+                (acc["cur"] + F.length(seg) + 1).cast("int")).alias("ps"))
+        ps = F.aggregate(body, acc0, step, lambda a: a["ps"])
+        return F.transform(ps, lambda p: F.struct(
+            p.alias("pos"), F.lit(i).alias("ord"), lit.alias("term")))
+
+    allocc = F.flatten(F.array(*[occurrences(t, i)
+                                 for i, t in enumerate(terms)]))
+    # struct sort is field-lexicographic: (pos, ord, term) = earliest
+    # occurrence first, term list order on ties at the same position
+    hits = F.slice(F.array_sort(allocc), 1, n_frags)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).alias("_txt"),
+                      hits.alias("_hits"))
+            .select("doc_id", "_txt",
+                    F.posexplode("_hits").alias("_i", "_h"))
+            .select(
+                "doc_id",
+                (F.col("_i") + 1).cast("long").alias("frag"),
+                F.col("_h.term").alias("matched_term"),
+                (F.col("_h.pos") - 1).cast("long").alias("offset"),
+                F.substring(
+                    F.col("_txt"),
+                    F.greatest(F.lit(1), F.col("_h.pos") - F.lit(window)),
+                    F.length(F.col("_h.term")) + F.lit(2 * window))
+                .alias("snippet")))
+
+
 def boolean_match_df(
     df: DataFrame, id_col: str, text_col: str,
     all_of: Sequence[str] = (), any_of: Sequence[str] = (),

@@ -144,16 +144,40 @@ class IndexSearcher:
               size: int = 10) -> List[Tuple[str, int]]:
         """Solr-style field facet over the query's boolean matches:
         [(term, count)] sorted by count desc then term asc, capped at
-        ``size`` (Solr's facet.limit; the reference gets faceting from the
-        Solr it delegates to). Counts are LIVE matching docs per facet
-        term, computed as sorted-array intersections between each facet
-        term's postings and the match set — the facet field's lexicon is
-        one row-group-pruned range scan, no corpus scan."""
+        ``size`` (Solr's facet.limit; the reference gets faceting from
+        the Solr it delegates to).
+
+        Two routes, like Solr's docValues-vs-enum facet methods:
+
+        - STORED single-valued fields (repo/path/commit/lang — any
+          doc_stats column) use the doc-values path: one row-group-pruned
+          projected read of (doc_ord, field) over the match span, then a
+          vectorized unique-count over exactly the matching ords. Cost is
+          bounded by the MATCHES (plus row-group granularity), never by
+          the field's cardinality — safe for a 10^6-term ``path`` facet.
+          Semantics are keyword/docvalues (raw stored value, untokenized),
+          which is what Solr string-field faceting returns.
+
+        - Indexed-only (tokenized) fields fall back to facet.method=enum:
+          per-lexicon-term posting intersections against the match set.
+          Cost scales with the FIELD'S CARDINALITY — fine for enum-like
+          fields, documented-expensive for high-cardinality text (exactly
+          Lucene's cost model for enum faceting without doc values)."""
         node = self._parse(query)
         matches = self._matching(node).materialize(
             self.reader.ord_span(), self.tombstones)
         if matches.size == 0:
             return []
+        vals = self.reader.doc_values(facet_field, matches)
+        if vals is not None:
+            # facet.missing=false: null stored values don't facet
+            vals = np.array([v for v in vals if v is not None], dtype=str)
+            if vals.size == 0:
+                return []
+            terms, counts = np.unique(vals, return_counts=True)
+            out = [(str(t), int(c)) for t, c in zip(terms, counts)]
+            out.sort(key=lambda kv: (-kv[1], kv[0]))
+            return out[:size]
         out = []
         for term in self.reader.terms_in_range(facet_field, None, None,
                                                limit=1 << 20):

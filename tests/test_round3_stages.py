@@ -189,7 +189,8 @@ def test_apply_html_validation(spark):
         ApplyHTML(source="html", mapping={
             "o": {"selector": "a", "type": "attribute"}}).apply(df)
     with pytest.raises(ValueError):   # unsupported selector syntax
-        ApplyHTML(source="html", mapping={"o": "a + b"}).apply(df)
+        # `+`/`~` became supported in r5; pseudo-classes remain out
+        ApplyHTML(source="html", mapping={"o": "p:nth-child(2)"}).apply(df)
     with pytest.raises(ValueError):   # dangling child combinator
         ApplyHTML(source="html", mapping={"o": "a >"}).apply(df)
 
