@@ -77,12 +77,34 @@ def main():
     idx_dir = tempfile.mkdtemp(prefix="lucille_bench_idx_")
     try:
         # --- headline: index build over the sf documents corpus ----------
+        # r5: cold/steady split (the index_build analogue of the r4
+        # query_batch split). Round-5 paired same-phase runs of the r3 and
+        # r4 code showed the r4 driver's 17.3 s-vs-12.7 s "regression" was
+        # entirely VM phase drift: r3 code cold-built in 16.6 s and r5
+        # code in 17.1 s minutes apart on the same day, while the actual
+        # build work is ~3-4 s once the JVM is warm (PLANS.md r5). The
+        # cold number (JVM codegen + python-worker spinup + first parquet
+        # footer reads) stays as `index_build` for series comparability;
+        # `index_build_steady` is the best of two further builds (min-of-2
+        # shrugs off a single VM spike) and is the number that tracks
+        # real builder changes.
         t0 = time.time()
         stats = build_index(documents_as_corpus(spark, SF_DIR), idx_dir,
                             fields=("content",), store_positions=True)
         build_sec = time.time() - t0
         n_docs = stats["n_docs"]
         queries["index_build"] = round(build_sec, 3)
+        steady = []
+        for _ in range(2):
+            sdir = tempfile.mkdtemp(prefix="lucille_bench_idx_s_")
+            try:
+                t0 = time.time()
+                build_index(documents_as_corpus(spark, SF_DIR), sdir,
+                            fields=("content",), store_positions=True)
+                steady.append(time.time() - t0)
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+        queries["index_build_steady"] = round(sorted(steady)[0], 3)
 
         # WAND latency = median of QUERY_REPS cold runs: a FRESH searcher
         # per repetition (no decode-cache carryover), so one VM hiccup
@@ -168,6 +190,11 @@ def main():
         # late floor; one slow late batch cannot.
         merge_flatness = round(min(merge_sec[2:]) / max(merge_sec[1], 1e-9),
                                3)
+        # VERDICT r4 #7: carry BOTH flatness definitions for one round so
+        # the series stays comparable — `merge_flatness` (r4 floor-based,
+        # robust to one noisy late batch) and the r3 last/second ratio.
+        merge_flatness_last_over_second = round(
+            merge_sec[-1] / max(merge_sec[1], 1e-9), 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         spark.stop()
@@ -305,6 +332,7 @@ def main():
         "query_batch_qps": round(30 / batch_sec, 1),
         "merge_batch_sec": merge_sec,
         "merge_flatness": merge_flatness,
+        "merge_flatness_last_over_second": merge_flatness_last_over_second,
         "scaling": scaling,
     }
     print(json.dumps(out))
