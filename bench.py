@@ -211,6 +211,17 @@ def main():
     scaling = None
     if RUN_SCALING:
         lo, hi = SCALE_PAIR
+        # Slow-phase guard (r5): the r5 full run overran the ~9-min driver
+        # budget in a VM slow phase (headline 77 s + warmup epoch + 3
+        # mandatory 42k epochs > 590 s). When the headline already ate
+        # into the budget, SHRINK the epoch (30k docs) instead of cutting
+        # the epoch COUNT: each epoch's low/high ratio is internally
+        # consistent at any doc count, so the north rule's >=3-epoch
+        # median methodology is preserved; only the per-epoch wall clock
+        # drops ~30%. Decided once, before the workers start.
+        scale_docs = SCALE_DOCS
+        if BUDGET_SEC - (time.time() - t_suite) < 475:
+            scale_docs = int(SCALE_DOCS * 5 / 7)
 
         def _die_with_parent():
             # if bench.py is killed (driver timeout), the workers and
@@ -227,7 +238,7 @@ def main():
                               "tools", "bench_worker.py")
         procs = {
             cpus: subprocess.Popen(
-                [sys.executable, worker, str(cpus), str(SCALE_DOCS)],
+                [sys.executable, worker, str(cpus), str(scale_docs)],
                 stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL, text=True, bufsize=1, env=env,
                 preexec_fn=_die_with_parent)
@@ -246,14 +257,18 @@ def main():
         for cpus in (lo, hi):
             await_line(procs[cpus], "READY")
 
-        def _epoch():
-            pair = []
-            for cpus in (lo, hi):
+        def _epoch(flip: bool = False):
+            # alternate the within-epoch order (low,high / high,low):
+            # a monotonic VM drift otherwise biases every epoch's ratio
+            # in the SAME direction; flipping cancels the direction term
+            order = (hi, lo) if flip else (lo, hi)
+            times = {}
+            for cpus in order:
                 p = procs[cpus]
                 p.stdin.write("RUN\n")
                 p.stdin.flush()
-                pair.append(float(await_line(p, "TIME").split()[1]))
-            return pair
+                times[cpus] = float(await_line(p, "TIME").split()[1])
+            return [times[lo], times[hi]]
 
         # one UNTIMED full-size epoch first: the 10k in-JVM warmup does
         # not warm the full-size path — the first 42k build at 8 cores
@@ -275,7 +290,7 @@ def main():
                 remaining = BUDGET_SEC - (time.time() - t_suite)
                 if remaining < (lows[-1] + highs[-1]) + 30:
                     break
-            pair = _epoch()
+            pair = _epoch(flip=len(lows) % 2 == 1)
             lows.append(pair[0])
             highs.append(pair[1])
         results = {}
@@ -292,10 +307,10 @@ def main():
 
         ratios = [l / h for l, h in zip(lows, highs)]
         eff = _median(ratios) / (hi / lo)
-        thr_low = round(SCALE_DOCS / _median(lows), 1)
-        thr_high = round(SCALE_DOCS / _median(highs), 1)
+        thr_low = round(scale_docs / _median(lows), 1)
+        thr_high = round(scale_docs / _median(highs), 1)
         scaling = {
-            "n_docs": SCALE_DOCS,
+            "n_docs": scale_docs,
             "runs_per_level": len(lows),
             "method": (f"{len(lows)} interleaved low/high epochs (both "
                        "JVMs live, alternating builds) after a per-JVM "

@@ -1169,9 +1169,11 @@ class MatchQuery(Stage):
             if t is None:
                 return F.lit(False)
             # `?` = one char, `*` = any run; everything else literal
-            # (Java-regex-safe: escape, then swap the metachars back)
+            # (Java-regex-safe: escape, then swap the metachars back).
+            # rlike is find-semantics, so anchor BOTH ends: the wildcard
+            # must match the whole token ('te?t' must not hit 'xtest')
             import re as _re
-            rx = "(?s)" + _re.escape(node.pattern).replace(
+            rx = "(?s)^" + _re.escape(node.pattern).replace(
                 r"\*", ".*").replace(r"\?", ".") + "$"
             return F.coalesce(F.exists(t, lambda x: x.rlike(rx)),
                               F.lit(False))

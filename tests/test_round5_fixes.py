@@ -94,7 +94,7 @@ def test_matchquery_multiterm_nodes(spark):
 
     df = spark.createDataFrame(
         [("1", "test alpha"), ("2", "text beta"), ("3", "toast gamma"),
-         ("4", "zulu omega"), ("5", None)],
+         ("4", "zulu omega"), ("5", None), ("6", "xtest protest")],
         "id string, content string")
     st = MatchQuery(queries={
         "wild": "content:te?t",            # test, text
@@ -110,6 +110,9 @@ def test_matchquery_multiterm_nodes(spark):
     assert out["3"] == {"pre", "rng", "fz"}
     assert out["4"] == set()
     assert out["5"] == set()
+    # rlike find-semantics trap: the wildcard/prefix must match the WHOLE
+    # token — 'xtest'/'protest' contain 'test' but match nothing
+    assert out["6"] == set()
 
 
 def test_matchquery_multiterm_agrees_with_oracle(spark):
