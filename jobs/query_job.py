@@ -8,6 +8,13 @@ Single query (driver-side block-max WAND, no Spark job):
 Query batch (distributed — queries are the unit of parallelism):
     ... --index /path/to/index --query-file queries.tsv --out results/
     (TSV: query_id<TAB>query)
+
+Solr-handler analogues on the single-query path (r5):
+    --facet FIELD      field facet counts over the query's boolean
+                       matches (doc-values route for stored fields)
+    --facet-limit N    facet.limit (default 10)
+    --mlt TEXT         MoreLikeThis: rank documents similar to TEXT
+                       (ignores --query)
 """
 
 from __future__ import annotations
@@ -28,12 +35,26 @@ def main():
     ap.add_argument("--out")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--default-field", default="content")
+    ap.add_argument("--facet", metavar="FIELD")
+    ap.add_argument("--facet-limit", type=int, default=10)
+    ap.add_argument("--mlt", metavar="TEXT")
     args = ap.parse_args()
 
-    if args.query:
+    if args.query or args.mlt:
         from lucille_spark.query.searcher import IndexSearcher
 
         searcher = IndexSearcher(args.index, args.default_field)
+        if args.mlt:
+            for rank, (doc_id, score) in enumerate(
+                    searcher.more_like_this(args.mlt, k=args.k), 1):
+                print(json.dumps({"rank": rank, "doc_id": doc_id,
+                                  "score": round(score, 6)}))
+            return
+        if args.facet:
+            for value, n in searcher.facet(args.query, args.facet,
+                                           size=args.facet_limit):
+                print(json.dumps({"facet_value": value, "count": n}))
+            return
         for rank, (doc_id, score) in enumerate(
                 searcher.search(args.query, args.k), 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id,
