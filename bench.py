@@ -211,17 +211,17 @@ def main():
     scaling = None
     if RUN_SCALING:
         lo, hi = SCALE_PAIR
-        # Slow-phase guard (r5): the r5 full run overran the ~9-min driver
-        # budget in a VM slow phase (headline 77 s + warmup epoch + 3
-        # mandatory 42k epochs > 590 s). When the headline already ate
-        # into the budget, SHRINK the epoch (30k docs) instead of cutting
-        # the epoch COUNT: each epoch's low/high ratio is internally
-        # consistent at any doc count, so the north rule's >=3-epoch
-        # median methodology is preserved; only the per-epoch wall clock
-        # drops ~30%. Decided once, before the workers start.
+        # r5 budget shape: timed epochs ALWAYS run at the full SCALE_DOCS.
+        # A same-JVM size sweep (PLANS.md r5) showed measured efficiency
+        # RISES with build size (per-build fixed overhead ~14 s at 8
+        # cores / ~23 s at 2 cores is a constant added to both sides of
+        # the ratio), so shrinking the timed epochs — the first r5
+        # attempt — systematically understates efficiency (0.78 at 30k
+        # where 42k projects ~0.85). The budget is recovered elsewhere:
+        # the untimed warmup epoch runs at 2/3 size and CONCURRENTLY on
+        # both workers (it exists only to trigger full-size heap growth;
+        # wall clock drops from ~110 s sequential-full to ~65 s).
         scale_docs = SCALE_DOCS
-        if BUDGET_SEC - (time.time() - t_suite) < 475:
-            scale_docs = int(SCALE_DOCS * 5 / 7)
 
         def _die_with_parent():
             # if bench.py is killed (driver timeout), the workers and
@@ -279,8 +279,14 @@ def main():
         # side is the one penalized), so the recorded number stays a
         # conservative lower bound rather than blowing the driver timeout.
         warmup_epoch = None
-        if BUDGET_SEC - (time.time() - t_suite) >= 420:
-            warmup_epoch = _epoch()
+        if BUDGET_SEC - (time.time() - t_suite) >= 360:
+            n_warm = scale_docs * 2 // 3
+            for cpus in (lo, hi):
+                procs[cpus].stdin.write("WARM %d\n" % n_warm)
+                procs[cpus].stdin.flush()
+            for cpus in (lo, hi):
+                await_line(procs[cpus], "WARMED")
+            warmup_epoch = "concurrent untimed %d-doc build per level" % n_warm
         lows, highs = [], []
         while len(lows) < SCALE_RUNS:
             if len(lows) >= 3:
@@ -312,11 +318,12 @@ def main():
         scaling = {
             "n_docs": scale_docs,
             "runs_per_level": len(lows),
-            "method": (f"{len(lows)} interleaved low/high epochs (both "
-                       "JVMs live, alternating builds) after a per-JVM "
-                       "10k warmup AND one untimed full-size epoch; "
-                       "efficiency = median of per-epoch ratios / core "
-                       "ratio"),
+            "method": (f"{len(lows)} interleaved low/high epochs "
+                       "(both JVMs live, alternating builds, within-epoch "
+                       "order flipped each epoch) after a per-JVM 10k "
+                       "warmup AND one concurrent untimed 2/3-size "
+                       "warmup build; efficiency = median of per-epoch "
+                       "ratios / core ratio"),
             "warmup_epoch": warmup_epoch,
             "cpus_low": lo, "docs_per_sec_low": thr_low,
             "build_secs_low": lows,
@@ -328,6 +335,20 @@ def main():
         }
         queries["scaling_low_build"] = round(_median(lows), 3)
         queries["scaling_high_build"] = round(_median(highs), 3)
+        # host-state context (r5): the shared-host VM's deliverable
+        # bandwidth swings by >5x between phases (membw probe recorded
+        # 1.7 GB/s at 2 procs during one r5 run vs ~14 in clean phases),
+        # and the 8-core side of the pair is the bandwidth-sensitive
+        # one — so every efficiency number must be read against the
+        # host state it was measured in. ~15 s.
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from membw import measure as _membw
+            scaling["membw_gbps"] = {str(c): _membw(c, repeats=2)
+                                     for c in (lo, hi)}
+        except Exception as e:  # probe must never sink the artifact
+            scaling["membw_gbps"] = {"error": str(e)}
 
     out = {
         "metric": ("index-build docs/sec + BM25 WAND top-k latency + "

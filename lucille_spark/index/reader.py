@@ -105,6 +105,12 @@ def read_meta(index_dir: str) -> Optional[dict]:
 
     def _read():
         rows = ds.dataset(path).to_table().to_pylist()
+        if not rows:
+            # dir exists but reads empty: the writer's dot-prefixed temp
+            # file is the only content (mid-rewrite window) — retryable,
+            # same rule as corpus_stats; a truly absent table raises
+            # FileNotFoundError from ds.dataset above instead
+            raise FileNotFoundError("_meta mid-rewrite (empty read)")
         # several appends may exist; the newest updated_at wins
         return max(rows, key=lambda r: r.get("updated_at", 0.0))
 

@@ -10,7 +10,9 @@ round 5 adds the sibling combinators):
 
     chain  := simple (comb simple)*
     comb   := WS | WS? ('>' | '+' | '~') WS?   # descendant/child/adjacent/general sibling
-    simple := [tag|*] [#id] (.class)* ([attr] | [attr=value] | [attr~=value])*
+    simple := [tag|*] [#id] (.class)* ([attr] | [attr=value] | [attr~=value])* pseudo*
+    pseudo := :first-child | :nth-child(An+B|odd|even|k)
+            | :first-of-type | :nth-of-type(...)
 
 `A > B` matches B whose PARENT matches A (jsoup child combinator);
 `A + B` matches B whose immediately-preceding ELEMENT sibling matches A
@@ -21,8 +23,13 @@ class-list semantics of CSS ~=). Chain matching uses a proper
 backtracking walk over open ancestors AND per-depth closed-sibling
 history, so mixed chains like `ul > li + li em` resolve correctly
 (greedy-nearest binding is wrong when several candidates match).
-Remaining out of grammar: `:nth-*` and other pseudo-classes
-(htmlsel.py boundary, COVERAGE.md).
+Structural pseudo-classes decidable at start-tag time are supported via
+the same sibling history (`:first-child`, `:nth-child`,
+`:first-of-type`, `:nth-of-type`). Remaining out of grammar:
+`:last-*`/`:only-*` (need the parent's full child list, unknown until
+the parent closes in a single-pass streaming matcher) and
+non-structural pseudos (`:hover` etc.) — htmlsel.py boundary,
+COVERAGE.md.
 
 Extraction types per ApplyJSoup.java destinationFields:
     text      — element.text(): subtree text, whitespace-normalized
@@ -41,8 +48,52 @@ from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
 _SIMPLE = re.compile(
-    r"^([a-zA-Z][\w-]*|\*)?(#[\w-]+)?((?:\.[\w-]+)*)((?:\[[^\]]+\])*)$")
+    r"^([a-zA-Z][\w-]*|\*)?(#[\w-]+)?((?:\.[\w-]+)*)((?:\[[^\]]+\])*)"
+    r"((?::[\w-]+(?:\([^)]*\))?)*)$")
 _ATTR = re.compile(r"\[([\w-]+)(?:(~?)=([^\]]*))?\]")
+_PSEUDO = re.compile(r":([\w-]+)(?:\(([^)]*)\))?")
+
+
+def _parse_nth(arg: str) -> Tuple[int, int]:
+    """CSS An+B micro-syntax -> (A, B): 'odd', 'even', '3', '2n',
+    '2n+1', '-n+3', 'n'."""
+    a = arg.strip().lower().replace(" ", "")
+    if a == "odd":
+        return (2, 1)
+    if a == "even":
+        return (2, 0)
+    m = re.match(r"^([+-]?\d*)n([+-]\d+)?$", a)
+    if m:
+        coef = m.group(1)
+        A = 1 if coef in ("", "+") else (-1 if coef == "-" else int(coef))
+        return (A, int(m.group(2)) if m.group(2) else 0)
+    if re.match(r"^[+-]?\d+$", a):
+        return (0, int(a))
+    raise ValueError(f"unsupported :nth-* argument {arg!r}")
+
+
+def _parse_pseudos(raw: str, sel: str) -> List[Tuple[str, int, int]]:
+    """Structural pseudo-classes decidable at START-TAG time in a
+    single-pass streaming matcher: (kind, A, B) with kind 'child'
+    (position among element siblings) or 'type' (position among
+    same-tag element siblings). `:last-child`/`:last-of-type`/`:only-*`
+    need the parent's FULL child list (unknown until the parent closes)
+    and stay out of grammar, as do non-structural pseudos."""
+    out: List[Tuple[str, int, int]] = []
+    for m in _PSEUDO.finditer(raw or ""):
+        name, arg = m.group(1), m.group(2)
+        if name == "first-child":
+            out.append(("child", 0, 1))
+        elif name == "first-of-type":
+            out.append(("type", 0, 1))
+        elif name == "nth-child":
+            out.append(("child", *_parse_nth(arg or "")))
+        elif name == "nth-of-type":
+            out.append(("type", *_parse_nth(arg or "")))
+        else:
+            raise ValueError(
+                f"unsupported pseudo-class ':{name}' in selector {sel!r}")
+    return out
 
 VOID_TAGS = {"br", "img", "hr", "meta", "link", "input", "area", "base",
              "col", "embed", "source", "track", "wbr", "param"}
@@ -61,14 +112,15 @@ _COMBINATORS = {">": "child", "+": "adjacent", "~": "general"}
 
 def _space_combinators(sel: str) -> str:
     """Surround top-level `>` `+` `~` with spaces so the chain splits on
-    whitespace. `~` inside `[attr~=value]` brackets is attribute syntax,
-    not a combinator — tracked via bracket depth."""
+    whitespace. `~` inside `[attr~=value]` brackets and `+` inside
+    `:nth-child(2n+1)` parens are NOT combinators — tracked via
+    bracket/paren depth."""
     out = []
     depth = 0
     for ch in sel:
-        if ch == "[":
+        if ch in "[(":
             depth += 1
-        elif ch == "]":
+        elif ch in "])":
             depth = max(0, depth - 1)
         if depth == 0 and ch in _COMBINATORS:
             out.append(f" {ch} ")
@@ -97,7 +149,7 @@ def parse_selector(sel: str) -> List[tuple]:
             continue
         m = _SIMPLE.match(p)
         if not m or (not m.group(1) and not m.group(2) and not m.group(3)
-                     and not m.group(4)):
+                     and not m.group(4) and not m.group(5)):
             raise ValueError(f"unsupported selector {p!r}")
         tag = m.group(1)
         if tag == "*":
@@ -111,7 +163,9 @@ def parse_selector(sel: str) -> List[tuple]:
                 v = v.strip("\"'")
             op = "~=" if am.group(2) else ("=" if v is not None else "")
             attrs.append((am.group(1), op, v))
-        simple = (tag.lower() if tag else None, eid, classes, attrs)
+        pseudos = _parse_pseudos(m.group(5), sel)
+        simple = (tag.lower() if tag else None, eid, classes, attrs,
+                  pseudos)
         out.append((simple, None if not out else (comb or "descendant")))
         comb = None
         expect_simple = False
@@ -120,9 +174,9 @@ def parse_selector(sel: str) -> List[tuple]:
     return out
 
 
-def _match_simple(el, s) -> bool:
+def _match_simple(el, s, preceding=()) -> bool:
     tag, attrs = el
-    t, eid, classes, sattrs = s
+    t, eid, classes, sattrs, pseudos = s
     if t and tag != t:
         return False
     a = dict(attrs)
@@ -139,6 +193,18 @@ def _match_simple(el, s) -> bool:
             return False
         if op == "~=" and v not in (a.get(k) or "").split():
             return False
+    for kind, A, B in pseudos:
+        # 1-based position among element siblings (text/comment nodes
+        # don't count, per CSS), computed from the closed-sibling history
+        if kind == "child":
+            p = len(preceding) + 1
+        else:                                  # -of-type
+            p = 1 + sum(1 for pt, _ in preceding if pt == tag)
+        if A == 0:
+            if p != B:
+                return False
+        elif (p - B) % A != 0 or (p - B) // A < 0:
+            return False
     return True
 
 
@@ -154,7 +220,7 @@ def _chain_match(stack, sibs, chain) -> bool:
     compose with the ancestor walk."""
 
     def ok(ci: int, si: int, elem, preceding) -> bool:
-        if not _match_simple(elem, chain[ci][0]):
+        if not _match_simple(elem, chain[ci][0], preceding):
             return False
         if ci == 0:
             return True

@@ -189,8 +189,9 @@ def test_apply_html_validation(spark):
         ApplyHTML(source="html", mapping={
             "o": {"selector": "a", "type": "attribute"}}).apply(df)
     with pytest.raises(ValueError):   # unsupported selector syntax
-        # `+`/`~` became supported in r5; pseudo-classes remain out
-        ApplyHTML(source="html", mapping={"o": "p:nth-child(2)"}).apply(df)
+        # `+`/`~`/:nth-* became supported in r5; :last-* and
+        # non-structural pseudos remain out (streaming matcher boundary)
+        ApplyHTML(source="html", mapping={"o": "p:last-child"}).apply(df)
     with pytest.raises(ValueError):   # dangling child combinator
         ApplyHTML(source="html", mapping={"o": "a >"}).apply(df)
 

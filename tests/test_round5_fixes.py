@@ -322,3 +322,32 @@ def test_html_sibling_with_child_chain():
     assert select_html(html, "h2 ~ div > p") == ["inside"]
     # adjacency is per-container: u1a and u2a are NOT siblings
     assert select_html(html, "li + li") == ["u2b"]
+
+
+def test_html_structural_pseudo_classes():
+    """r5 extra: the streaming-decidable pseudo-classes (:first-child,
+    :nth-child An+B/odd/even/k, :first-of-type, :nth-of-type) over the
+    same sibling history; :last-*/:only-*/non-structural stay rejected."""
+    from lucille_spark.pipeline.htmlsel import parse_selector, select_html
+
+    html = ('<ul><li>a</li><li>b</li><li>c</li><li>d</li><li>e</li></ul>'
+            '<div><h2>t</h2><p>p1</p><p>p2</p><span>s</span><p>p3</p></div>')
+    assert select_html(html, "li:first-child") == ["a"]
+    assert select_html(html, "li:nth-child(2)") == ["b"]
+    assert select_html(html, "li:nth-child(odd)") == ["a", "c", "e"]
+    assert select_html(html, "li:nth-child(even)") == ["b", "d"]
+    assert select_html(html, "li:nth-child(2n+1)") == ["a", "c", "e"]
+    assert select_html(html, "li:nth-child(-n+2)") == ["a", "b"]
+    # -of-type counts same-tag siblings only: p3 is child 5 but p #3
+    assert select_html(html, "p:first-of-type") == ["p1"]
+    assert select_html(html, "p:nth-of-type(3)") == ["p3"]
+    assert select_html(html, "p:nth-child(5)") == ["p3"]
+    # composition with child/sibling combinators
+    assert select_html(html, "div > p:nth-of-type(2)") == ["p2"]
+    assert select_html(html, "h2 ~ p:nth-of-type(2)") == ["p2"]
+    assert select_html(html, "ul li:nth-child(2)") == ["b"]
+    import pytest as _pt
+    for bad in ("p:last-child", "a:hover", "p:nth-child(foo)",
+                "p:only-child"):
+        with _pt.raises(ValueError):
+            parse_selector(bad)

@@ -139,7 +139,24 @@ def main():
             stats = None
             for line in sys.stdin:
                 cmd = line.strip()
-                if cmd == "RUN":
+                if cmd.startswith("WARM "):
+                    # untimed warmup build at a caller-chosen size (r5:
+                    # bench.py warms both workers CONCURRENTLY at ~2/3
+                    # full size — enough to trigger the full-size heap
+                    # growth the 10k warmup misses, at half the wall
+                    # clock of the old timed full-size warmup epoch)
+                    n_warm = int(cmd.split()[1])
+                    wdir2 = tempfile.mkdtemp(prefix=f"lucille_w2_{cpus}_")
+                    try:
+                        from lucille_spark.corpus import corpus_df as _cdf
+                        build_index(_cdf(spark, n_warm,
+                                         partitions=cpus * 2),
+                                    wdir2, fields=("content",),
+                                    store_positions=True)
+                    finally:
+                        shutil.rmtree(wdir2, ignore_errors=True)
+                    print("WARMED", flush=True)
+                elif cmd == "RUN":
                     shutil.rmtree(out, ignore_errors=True)
                     t0 = time.time()
                     stats = build_index(corpus, out, fields=("content",),
