@@ -1694,23 +1694,46 @@ def ann_near_dup_lsh(spark, sf_dir):
 
 @register("text_pack_sequences", sql=f"""
 WITH {_TOKS_CTE},
-t AS (SELECT doc_id, lang AS part, CAST(len(toks) AS BIGINT) AS n_tokens
+t AS (SELECT doc_id, lang,
+             (({_poly_tid_sql("CAST(doc_id AS VARCHAR)")})
+              * 48271) % 2147483647 % 8 AS shard,
+             CAST(len(toks) AS BIGINT) AS n_tokens
       FROM toks)
-SELECT doc_id, part, n_tokens,
-       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+SELECT 'lang' AS mode, doc_id, CAST(lang AS VARCHAR) AS part, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 500.0) AS BIGINT) AS pack_id
+FROM t
+UNION ALL
+SELECT 'auto' AS mode, doc_id, CAST(shard AS VARCHAR) AS part, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens) / 500.0) AS BIGINT) AS pack_id
 FROM t
 """)
 def text_pack_sequences(spark, sf_dir):
     """Context packing for training pipelines: docs assigned to ~500-token
-    packs per language shard (streaming-with-overflow boundary rule, exact
-    integer cumsum — ml/textstats.pack_sequences). The per-shard window is
-    the scale story: one shuffle on the shard key, no global sort."""
+    packs per shard (streaming-with-overflow boundary rule, exact integer
+    cumsum — ml/textstats.pack_sequences). Both scale paths in one entry:
+    `mode=lang` packs per natural shard key; `mode=auto` (r5) packs per
+    synthetic hash-of-id shard (auto_shards=8) for corpora with no
+    natural key — the window is still per-shard, one shuffle, no global
+    sort, and the shard assignment is the same SQL-replayable polynomial
+    hash the sampling plane uses."""
     from lucille_spark.ml.textstats import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), "doc_id", "text",
-                          budget_tokens=500, part_col="lang")
+    docs = _docs(spark, sf_dir)
+    by_lang = pack_sequences(docs, "doc_id", "text",
+                             budget_tokens=500, part_col="lang") \
+        .select(F.lit("lang").alias("mode"), "doc_id",
+                F.col("part").cast("string").alias("part"),
+                "n_tokens", "pack_id")
+    by_auto = pack_sequences(docs, "doc_id", "text",
+                             budget_tokens=500, auto_shards=8) \
+        .select(F.lit("auto").alias("mode"), "doc_id",
+                F.col("part").cast("string").alias("part"),
+                "n_tokens", "pack_id")
+    return by_lang.unionByName(by_auto)
 
 
 @register("bm25_fielded", sql=f"""

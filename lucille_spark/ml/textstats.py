@@ -90,8 +90,8 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def pack_sequences(df: DataFrame, id_col: str, text_col: str,
-                   budget_tokens: int, part_col: Optional[str] = None
-                   ) -> DataFrame:
+                   budget_tokens: int, part_col: Optional[str] = None,
+                   auto_shards: int = 0) -> DataFrame:
     """Training-data context packing: assign documents (in id order) to
     packs of ~``budget_tokens`` tokens — (doc_id, n_tokens, pack_id[,
     part]). The boundary rule is streaming-with-overflow: a document
@@ -103,9 +103,28 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: ``part_col`` (e.g. lang or a shard key) bounds every
     window to one partition's rows — packing runs per shard with one
-    shuffle on the shard key, never a global sort. Omit it only for
-    small corpora (a single global Window.orderBy is a one-partition
-    sort, the same scale caveat as dense token dictionaries)."""
+    shuffle on the shard key, never a global sort. When no natural shard
+    key exists, pass ``auto_shards=N`` (r5): docs are sharded by the
+    same deterministic id hash the sampling plane uses (``part`` =
+    hash(id) mod N — reproducible at any parallelism, SQL-replayable),
+    and packing runs per synthetic shard; pack identity is then
+    (part, pack_id). Size each shard to executor memory: N ≈
+    corpus_tokens / (10^8) keeps a shard's window in the tens of
+    millions of tokens at 100 TB. Omit BOTH only for small corpora
+    (a single global Window.orderBy is a one-partition sort, the same
+    scale caveat as dense token dictionaries)."""
+    if part_col is not None and auto_shards:
+        raise ValueError("part_col and auto_shards are exclusive")
+    if part_col is None and auto_shards:
+        from lucille_spark.ml.sampling import _MIX, _P
+
+        from .dedup import _inline_tid
+
+        df = df.withColumn(
+            "_auto_shard",
+            ((_inline_tid(F.col(id_col).cast("string")) * F.lit(_MIX))
+             % F.lit(_P) % F.lit(auto_shards)).cast("long"))
+        part_col = "_auto_shard"
     toks = F.size(tokenize_col(F.col(text_col))).cast("long")
     base = df.select(F.col(id_col).alias("doc_id"),
                      *( [F.col(part_col).alias("part")] if part_col else []),

@@ -351,3 +351,43 @@ def test_html_structural_pseudo_classes():
                 "p:only-child"):
         with _pt.raises(ValueError):
             parse_selector(bad)
+
+
+# --------------------------------------- pack_sequences auto-shard path
+def test_pack_sequences_auto_shards(spark):
+    """VERDICT r4 scale residue: pack_sequences without part_col was a
+    global one-partition window. auto_shards=N derives a deterministic
+    hash-of-id shard, so packing stays per-shard (one shuffle, no global
+    sort) with no natural key. The shard must be stable under
+    repartitioning and exclusive with part_col."""
+    import pytest as _pt
+
+    from lucille_spark.ml.textstats import pack_sequences
+
+    rows = [(f"d{i:03d}", "tok " * (5 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(df, "doc_id", "text", budget_tokens=20,
+                         auto_shards=4)
+    got = {r.doc_id: (r.part, r.pack_id) for r in out.collect()}
+    assert len(got) == 60
+    assert {p for p, _ in got.values()} <= {0, 1, 2, 3}
+    # per-shard cumsum honors id order: recompute expectation in python
+    from lucille_spark.analysis import tokenize_py
+    import collections
+    by_shard = collections.defaultdict(list)
+    for doc_id, text in rows:
+        by_shard[got[doc_id][0]].append((doc_id, len(tokenize_py(text))))
+    for shard, docs in by_shard.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            assert got[doc_id] == (shard, cum // 20), doc_id
+            cum += n
+    # stability under repartitioning
+    got2 = {r.doc_id: (r.part, r.pack_id)
+            for r in pack_sequences(df.repartition(7), "doc_id", "text",
+                                    budget_tokens=20,
+                                    auto_shards=4).collect()}
+    assert got == got2
+    with _pt.raises(ValueError):
+        pack_sequences(df, "doc_id", "text", 20, part_col="x",
+                       auto_shards=4)
