@@ -2009,6 +2009,44 @@ def text_snippets(spark, sf_dir):
                              ["merge", "vector"], window=30, n_frags=3)
 
 
+@register("text_decontam", sql=f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+           AS grams
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 53 = 0
+),
+hits AS (
+  SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+  JOIN bench USING (gram)
+  GROUP BY dg.doc_id
+)
+SELECT g.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h USING (doc_id)
+""")
+def text_decontam(spark, sf_dir):
+    """Benchmark decontamination (r5 — the GPT-3/PaLM n-gram collision
+    recipe, ml/decontam.py): the 'benchmark' is the doc_id % 53 = 0
+    subset of the corpus, so every leaked doc must flag itself plus any
+    near-copy sharing a 5-gram. Corpus side explodes distinct 5-grams
+    (JVM shingles) into a BROADCAST semi-join against the benchmark
+    gram set — no corpus-sized shuffle anywhere."""
+    from lucille_spark.ml.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    return decontaminate(docs, "doc_id", "text", bench, "text", n=5)
+
+
 @register("facet_docvalues", sql=f"""
 WITH {_TOKS_CTE}
 SELECT lang AS facet_value, CAST(COUNT(*) AS BIGINT) AS n
@@ -2133,9 +2171,10 @@ GATE_ORDER = [
     # -- ANN / embedding plane (near-dup entries never driver-verified)
     "ann_cosine_top10", "ann_cosine_ivf_top10", "ann_cosine_lsh_top10",
     "ann_batch_topk", "ann_near_dup_pairs", "ann_near_dup_lsh",
-    # -- text-analysis plane
+    # -- text-analysis plane (r5 adds benchmark decontamination)
     "text_token_counts", "text_quality", "text_fingerprint",
     "text_langid", "text_pack_sequences", "text_weighted_sample",
+    "text_decontam",
     # -- language-ID stages
     "stage_langid_options", "stage_langid_scripts",
     # -- pipeline stages / sources never driver-verified
@@ -2148,9 +2187,12 @@ GATE_ORDER = [
     #    supersedes db_child_join: same SQL through a real Derby JDBC
     #    read; the join-semantics twin is rotated out)
     "collapse_by_key", "db_child_join_jdbc",
-    "window_topk_per_user", "events_sessionize",
-    "events_windowed_counts",
+    "events_sessionize", "events_windowed_counts",
     # ---------------- position 51+ : out of the driver window ----------
+    # (window_topk_per_user rotated out for text_decontam: sessionize +
+    #  windowed_counts keep window ops driver-visible; topk is
+    #  pytest-covered in the gate goldens)
+    "window_topk_per_user",
     "stage_entities", "db_child_join",
     "bm25_or", "bm25_rare_or", "bm25_not", "bm25_boosted",
     "wand_boosted_top10", "wand_conjunctive_top10",

@@ -391,3 +391,35 @@ def test_pack_sequences_auto_shards(spark):
     with _pt.raises(ValueError):
         pack_sequences(df, "doc_id", "text", 20, part_col="x",
                        auto_shards=4)
+
+
+# ------------------------------------------- benchmark decontamination
+def test_decontaminate_and_clean(spark):
+    """r5: the GPT-3/PaLM n-gram collision recipe. Docs sharing an
+    n-gram with the benchmark flag (and only those); clean() is the
+    broadcast left-anti twin; the corpus side must not shuffle documents
+    (broadcast hash join in the plan)."""
+    from lucille_spark.ml.decontam import clean, decontaminate
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta epsilon"),
+         ("d2", "beta gamma delta zeta eta"),      # shares 3-gram w/ d1? no
+         ("d3", "totally unrelated words here now"),
+         ("d4", "alpha beta gamma delta other")],  # shares 3-gram w/ bench
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("q1", "x alpha beta gamma y")], "qid string, q string")
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(docs, "doc_id", "text",
+                                  bench, "q", n=3).collect()}
+    # bench 3-grams: {x alpha beta, alpha beta gamma, beta gamma y}
+    assert out["d1"] == (1, True)      # alpha beta gamma
+    assert out["d2"] == (0, False)     # beta gamma delta not in bench
+    assert out["d3"] == (0, False)
+    assert out["d4"] == (1, True)
+    kept = {r.doc_id for r in clean(docs, "doc_id", "text",
+                                    bench, "q", n=3).collect()}
+    assert kept == {"d2", "d3"}
+    plan = decontaminate(docs, "doc_id", "text", bench, "q", n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
