@@ -513,6 +513,77 @@ def wand_conjunctive_top10(spark, sf_dir):
 # 4. Boolean matching (MatchQuery percolator semantics, SURVEY.md §2.4)
 # =========================================================================
 
+_GROUPED_SQL = f"""
+WITH base AS (
+  SELECT {_corpus_sha_sql('documents')} AS sha_id, lang,
+         {TOKS_SQL} AS toks
+  FROM documents
+),
+d AS (
+  SELECT sha_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf_0,
+       CAST(len(list_filter(toks, x -> x = 'filter')) AS BIGINT) AS tf_1
+  FROM base
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+       CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1
+  FROM d
+),
+scored AS (
+  SELECT d.sha_id AS doc_id, d.lang,
+    0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+         * (tf_0 / (tf_0 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))) ELSE 0.0 END)
+      + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+         * (tf_1 / (tf_1 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))) ELSE 0.0 END)
+      AS raw_score,
+    (tf_0 > 0 OR tf_1 > 0) AS matched
+  FROM d, stats
+),
+hits AS (SELECT doc_id, lang, raw_score FROM scored WHERE matched),
+gtop AS (SELECT lang, MAX(raw_score) AS best FROM hits GROUP BY lang),
+granked AS (
+  SELECT lang, CAST(row_number() OVER (ORDER BY best DESC, lang)
+                    AS BIGINT) AS grp_rank
+  FROM gtop
+),
+dr AS (
+  SELECT lang, doc_id, raw_score,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY raw_score DESC, doc_id) AS BIGINT) AS doc_rank
+  FROM hits
+)
+SELECT g.lang AS group_value, g.grp_rank, dr.doc_rank, dr.doc_id,
+       ROUND(dr.raw_score, 4) AS score
+FROM granked g JOIN dr USING (lang)
+WHERE g.grp_rank <= 5 AND dr.doc_rank <= 3
+"""
+
+
+@register("bm25_grouped_top3", sql=_GROUPED_SQL)
+def bm25_grouped_top3(spark, sf_dir):
+    """Solr result grouping over the real index (r5 —
+    IndexSearcher.search_grouped): top 5 lang groups ranked by best-doc
+    BM25 score, 3 docs each; group keys via the doc-values route. The
+    oracle replays the full scored match set with per-group
+    row_number ranking — same tie-breaks (score desc, doc_id asc; the
+    ordinal construction makes doc_ord order equal doc_id order)."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    out = IndexSearcher(idx).search_grouped(
+        "content:window OR content:filter", "lang",
+        k_groups=5, docs_per_group=3)
+    rows = [(g, gi + 1, di + 1, doc_id, round(score, 4))
+            for gi, (g, docs) in enumerate(out)
+            for di, (doc_id, score) in enumerate(docs)]
+    return spark.createDataFrame(
+        rows, "group_value string, grp_rank long, doc_rank long, "
+              "doc_id string, score double")
+
+
 @register("bool_match_not", sql=f"""
 WITH {_TOKS_CTE}
 SELECT doc_id FROM toks
@@ -2157,15 +2228,17 @@ GATE_ORDER = [
     # -- scored-plane canaries (kept in-window per VERDICT r4 #1)
     "bm25_single", "bm25_and", "bm25_phrase", "bm25_phrase_sloppy",
     "bm25_fielded",
-    # -- WAND canaries + every term-expansion flavor
+    # -- WAND canaries + every term-expansion flavor + r5 grouping
     "wand_index_top10", "wand_prefix_top10", "wand_fuzzy_top10",
-    "wand_range_top10", "wand_wildcard_top10",
+    "wand_range_top10", "wand_wildcard_top10", "bm25_grouped_top3",
     # -- round-4/5 query-plane features
     "mlt_top10", "facet_counts", "facet_docvalues", "text_snippets",
     # -- percolator boolean plane (r5 adds the multi-term nodes)
     "bool_match_not", "bool_match_phrase", "bool_match_multiterm",
-    # -- dedup plane
-    "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
+    # -- dedup plane (simhash rotated out for bm25_grouped_top3:
+    #    green r2-r4 and covered by test_ml_ops; the minhash/LSH/e2e/
+    #    jaccard chain keeps the dedup plane driver-visible)
+    "dedup_exact", "dedup_minhash_signatures",
     "dedup_ngram_jaccard", "dedup_lsh_candidate_pairs",
     "dedup_e2e_verified",
     # -- ANN / embedding plane (near-dup entries never driver-verified)
@@ -2192,7 +2265,7 @@ GATE_ORDER = [
     # (window_topk_per_user rotated out for text_decontam: sessionize +
     #  windowed_counts keep window ops driver-visible; topk is
     #  pytest-covered in the gate goldens)
-    "window_topk_per_user",
+    "window_topk_per_user", "dedup_simhash",
     "stage_entities", "db_child_join",
     "bm25_or", "bm25_rare_or", "bm25_not", "bm25_boosted",
     "wand_boosted_top10", "wand_conjunctive_top10",

@@ -193,6 +193,44 @@ class IndexSearcher:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:size]
 
+    def search_grouped(self, query: str, group_field: str,
+                       k_groups: int = 10, docs_per_group: int = 2
+                       ) -> List[Tuple[str, List[Tuple[str, float]]]]:
+        """Solr result grouping (group=true&group.field=F): the top
+        ``k_groups`` groups ranked by their best document's BM25 score
+        (tie: group value asc), each with its ``docs_per_group`` best
+        docs (tie: doc ordinal asc — equals doc_id asc by the ordinal
+        construction). Like Lucene's two-pass grouping collector, every
+        match is scored (cost O(matches), same as any collector over
+        the result set); group keys come from the doc-values route, so
+        ``group_field`` must be a stored single-valued field. Null group
+        values are dropped (deviation: Solr buckets nulls as a group)."""
+        node = self._parse(query)
+        hits = self._score_candidates(node, self.reader.ord_span())
+        if not hits:
+            return []
+        ords = np.array(sorted(o for o, _ in hits), dtype=np.int64)
+        vals = self.reader.doc_values(group_field, ords)
+        if vals is None:
+            raise ValueError(
+                f"group_field {group_field!r} is not a stored field "
+                "(doc-values grouping requires one)")
+        val_by_ord = {int(o): v for o, v in zip(ords, vals)}
+        groups: Dict = {}
+        for o, s in hits:          # already (score desc, ord asc) order
+            g = val_by_ord.get(o)
+            if g is None:
+                continue
+            lst = groups.setdefault(str(g), [])
+            if len(lst) < docs_per_group:
+                lst.append((o, s))
+        ranked = sorted(groups.items(),
+                        key=lambda kv: (-kv[1][0][1], kv[0]))[:k_groups]
+        id_map = self.reader.doc_ids_for_ords(
+            [o for _, docs in ranked for o, _ in docs])
+        return [(g, [(id_map[o], s) for o, s in docs])
+                for g, docs in ranked]
+
     def more_like_this(self, like_text: str, k: int = 10,
                        max_query_terms: int = 25,
                        min_doc_freq: int = 2,

@@ -423,3 +423,32 @@ def test_decontaminate_and_clean(spark):
     plan = decontaminate(docs, "doc_id", "text", bench, "q", n=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------- Solr result grouping
+def test_search_grouped(index_dir):
+    """r5: IndexSearcher.search_grouped — groups ranked by best-doc
+    score, docs ranked within group, keys via doc-values."""
+    import pytest as _pt
+
+    from lucille_spark.query.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir, "content")
+    q = "content:return OR content:import"
+    grouped = s.search_grouped(q, "lang", k_groups=3, docs_per_group=2)
+    assert 0 < len(grouped) <= 3
+    # best doc of the best group == overall top hit
+    top_doc, top_score = s.search(q, k=1)[0]
+    assert grouped[0][1][0] == (top_doc, top_score)
+    # groups ranked by best score desc; docs desc within each group
+    bests = [docs[0][1] for _, docs in grouped]
+    assert bests == sorted(bests, reverse=True)
+    for _, docs in grouped:
+        assert len(docs) <= 2
+        assert [sc for _, sc in docs] == sorted(
+            (sc for _, sc in docs), reverse=True)
+    # each group's docs actually carry that group's field value
+    pdf_vals = {g for g, _ in grouped}
+    assert pdf_vals <= {"python", "java", "go", "rust", "javascript"}
+    with _pt.raises(ValueError):
+        s.search_grouped(q, "content", 3, 2)   # not a stored field
