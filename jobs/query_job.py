@@ -15,6 +15,8 @@ Solr-handler analogues on the single-query path (r5):
     --facet-limit N    facet.limit (default 10)
     --mlt TEXT         MoreLikeThis: rank documents similar to TEXT
                        (ignores --query)
+    --suggest WORD     SpellCheck suggestions for WORD from the term
+                       dictionary (ignores --query)
 """
 
 from __future__ import annotations
@@ -38,12 +40,17 @@ def main():
     ap.add_argument("--facet", metavar="FIELD")
     ap.add_argument("--facet-limit", type=int, default=10)
     ap.add_argument("--mlt", metavar="TEXT")
+    ap.add_argument("--suggest", metavar="WORD")
     args = ap.parse_args()
 
-    if args.query or args.mlt:
+    if args.query or args.mlt or args.suggest:
         from lucille_spark.query.searcher import IndexSearcher
 
         searcher = IndexSearcher(args.index, args.default_field)
+        if args.suggest:
+            for term in searcher.suggest(args.suggest, k=args.k):
+                print(json.dumps({"suggestion": term}))
+            return
         if args.mlt:
             for rank, (doc_id, score) in enumerate(
                     searcher.more_like_this(args.mlt, k=args.k), 1):

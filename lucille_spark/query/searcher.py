@@ -269,6 +269,20 @@ class IndexSearcher:
         hits = self.search(q, k + (1 if exclude_doc_id else 0))
         return [(d, s) for d, s in hits if d != exclude_doc_id][:k]
 
+    def suggest(self, text: str, k: int = 5,
+                max_edits: int = 2) -> List[str]:
+        """Solr SpellCheckComponent analogue: dictionary terms closest
+        to ``text`` in edit distance (closest-first, tie term asc),
+        capped at ``k``. An exact dictionary hit returns [text] (the
+        word is spelled correctly). Reuses the bounded fuzzy expansion
+        (length band in-scan + bag-distance prefilter + banded DP), so
+        cost never scans the whole lexicon."""
+        field = self.default_field
+        if self.reader.term_info(field, text) is not None:
+            return [text]
+        return self.reader.terms_fuzzy(field, text, max_edits=max_edits,
+                                       limit=k)
+
     def match(self, query: str) -> List[str]:
         """Percolator-style boolean matching: sorted doc_ids."""
         node = self._parse(query)

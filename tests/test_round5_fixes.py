@@ -452,3 +452,17 @@ def test_search_grouped(index_dir):
     assert pdf_vals <= {"python", "java", "go", "rust", "javascript"}
     with _pt.raises(ValueError):
         s.search_grouped(q, "content", 3, 2)   # not a stored field
+
+
+# ----------------------------------------------------- spellcheck suggest
+def test_suggest(index_dir):
+    """r5: Solr SpellCheckComponent analogue over the bounded fuzzy
+    expansion — correct words return themselves; typos return
+    closest-first dictionary terms."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir, "content")
+    assert s.suggest("return") == ["return"]
+    sug = s.suggest("retur", k=5)
+    assert sug and sug[0] == "return"
+    assert s.suggest("zzzzqqqq") == []
