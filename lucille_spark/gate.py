@@ -1025,6 +1025,17 @@ _LANGID_SCRIPT_FIXTURES = [
     (9, "短い"),                        # < min_length -> skipped
     (10, "привет world hello мир"),     # mixed: script chars win
     (11, "日本語の文書テスト済み"),       # kanji-heavy but kana present -> ja
+    # r5 script-layer breadth: six new blocks + marker-disambiguated
+    # uk (over Cyrillic) and fa/ur (over Perso-Arabic)
+    (12, "Це її рідна мова і текст для перевірки"),   # uk (і ї є markers)
+    (13, "این یک متن فارسی است با گچ و پنیر"),        # fa (پ چ گ markers)
+    (14, "یہ اردو زبان کا ایک متن ہے"),               # ur (ے marker)
+    (15, "यह हिंदी भाषा का एक वाक्य है"),               # hi (Devanagari)
+    (16, "এটি একটি বাংলা বাক্য"),                      # bn (Bengali)
+    (17, "இது ஒரு தமிழ் வாக்கியம்"),                   # ta (Tamil)
+    (18, "นี่คือประโยคภาษาไทย"),                        # th (Thai)
+    (19, "Սա հայերեն նախադասություն է"),             # hy (Armenian)
+    (20, "ეს ქართული წინადადებაა"),                  # ka (Georgian)
 ]
 
 
@@ -1046,19 +1057,30 @@ def _langid_scripts_sql(min_len: int = 5) -> str:
         "he": "[֐-׿]", "ja": "[぀-ヿ]",
         "ko": "[ᄀ-ᇿ가-힯]", "ru": "[Ѐ-ӿ]",
         "zh": "[㐀-䶿一-鿿]",
+        "hi": "[ऀ-ॿ]", "bn": "[ঀ-৿]", "ta": "[஀-௿]",
+        "th": "[฀-๿]", "hy": "[԰-֏]", "ka": "[Ⴀ-ჿ]",
     }
+    markers = {"uk": ("ru", "[іїєґІЇЄҐ]"), "fa": ("ar", "[پچژگ]"),
+               "ur": ("ar", "[ٹڈڑںے]")}
     rows = []
     for doc_id, text in _LANGID_SCRIPT_FIXTURES:
         if len(text) < min_len:
             rows.append((doc_id, "", -1.0))
             continue
         cnt = {L: len(re.findall(p, text)) for L, p in blocks.items()}
+        mk = {L: len(re.findall(p, text)) for L, (_, p) in markers.items()}
         eff = dict(cnt)
+        chars = dict(cnt)
         eff["ja"] = cnt["ja"] + cnt["zh"] if cnt["ja"] > 0 else 0
+        chars["ja"] = eff["ja"]
+        for L, (base, _) in markers.items():
+            bonus = mk[L] + (mk["fa"] + 1 if L == "ur" else 0)
+            eff[L] = cnt[base] + bonus if mk[L] > 0 else 0
+            chars[L] = cnt[base] if mk[L] > 0 else 0
         lang, hits = min(eff.items(), key=lambda kv: (-kv[1], kv[0]))
         if hits > 0:
             n_chars = len(re.sub(r"\s", "", text))
-            conf = math.floor(hits / n_chars * 100) / 100
+            conf = math.floor(chars[lang] / n_chars * 100) / 100
         else:
             toks = set(re.findall(r"[a-z0-9_]+", text.lower()))
             scored = {L: len(toks & set(ws))

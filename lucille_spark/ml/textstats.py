@@ -182,30 +182,69 @@ LANG_PROFILES: Dict[str, Sequence[str]] = {
 # is distinguished from Chinese by kana: any kana present -> ja, scored as
 # kana+ideographs (Japanese prose mixes both); bare ideographs -> zh.
 SCRIPT_RANGES: Dict[str, str] = {
-    "ar": "[؀-ۿ]",            # Arabic
+    "ar": "[؀-ۿ]",            # Arabic (also the base for fa/ur below)
     "el": "[Ͱ-Ͽ]",            # Greek and Coptic
     "he": "[֐-׿]",            # Hebrew
     "ja": "[぀-ヿ]",            # Hiragana + Katakana
     "ko": "[ᄀ-ᇿ가-힯]",  # Jamo + Hangul syllables
-    "ru": "[Ѐ-ӿ]",            # Cyrillic
+    "ru": "[Ѐ-ӿ]",            # Cyrillic (also the base for uk below)
     "zh": "[㐀-䶿一-鿿]",  # CJK ideographs (+ext A)
+    # round 5: six more script blocks (each ~unambiguously one language
+    # among the widely-used web languages; Devanagari defaults to hi —
+    # documented deviation: mr/ne share the block, as does cybozu's own
+    # coarse first pass)
+    "hi": "[ऀ-ॿ]",            # Devanagari
+    "bn": "[ঀ-৿]",            # Bengali
+    "ta": "[஀-௿]",            # Tamil
+    "th": "[฀-๿]",            # Thai
+    "hy": "[԰-֏]",            # Armenian
+    "ka": "[Ⴀ-ჿ]",            # Georgian
+}
+
+# Marker-disambiguated languages over a shared base script (r5), same
+# shape as the kana rule: the language exists iff its marker chars
+# appear; its effective hits then outrank the base script's (and ur's
+# outrank fa's — Urdu text may use the Perso-Arabic letters too, but
+# only Urdu uses its retroflex/yeh-barree set).
+SCRIPT_MARKERS: Dict[str, tuple] = {
+    "uk": ("ru", "[іїєґІЇЄҐ]"),       # Ukrainian-specific Cyrillic
+    "fa": ("ar", "[پچژگ]"),            # Persian-specific Perso-Arabic
+    "ur": ("ar", "[ٹڈڑںے]"),          # Urdu-specific letters
 }
 
 
 def script_hit_structs(text_col):
-    """Per-script (hits, lang) structs with the ja/zh kana rule applied:
-    effective ja hits = kana + ideographs when kana > 0, else 0; zh hits =
-    ideographs. A plain argmax (hits desc, lang asc on ties) over these
-    structs is then the script decision — ja beats zh exactly when kana
-    exists, with no special-case branch."""
+    """Per-script (hits, chars, lang) structs: ``hits`` is the argmax
+    RANKING key (kana/marker rules fold in as bonuses), ``chars`` is the
+    real in-script character count (for confidence — never exceeds the
+    text length). ja beats zh exactly when kana exists; uk beats ru /
+    fa+ur beat ar (ur beats fa) exactly when their marker chars exist —
+    all as plain argmax with no special-case branch."""
     cnt = {lang: F.regexp_count(text_col, F.lit(rng))
            for lang, rng in SCRIPT_RANGES.items()}
+    mark = {lang: F.regexp_count(text_col, F.lit(pat))
+            for lang, (_, pat) in SCRIPT_MARKERS.items()}
     eff = dict(cnt)
+    chars = dict(cnt)
     eff["ja"] = F.when(cnt["ja"] > 0, cnt["ja"] + cnt["zh"]) \
                  .otherwise(F.lit(0))
+    chars["ja"] = eff["ja"]
+    for lang, (base, _) in SCRIPT_MARKERS.items():
+        bonus = mark[lang]
+        if lang == "ur":
+            # Urdu prose may also carry the Persian letters: rank it
+            # above fa whenever the ur-only set appears
+            bonus = bonus + mark["fa"] + F.lit(1)
+        eff[lang] = F.when(mark[lang] > 0, cnt[base] + bonus) \
+                     .otherwise(F.lit(0))
+        # marker chars are inside the base block, so the real char
+        # count for the variant IS the base count
+        chars[lang] = F.when(mark[lang] > 0, cnt[base]).otherwise(F.lit(0))
+    langs = sorted(set(SCRIPT_RANGES) | set(SCRIPT_MARKERS))
     return [F.struct(eff[lang].cast("long").alias("hits"),
+                     chars[lang].cast("long").alias("chars"),
                      F.lit(lang).alias("lang"))
-            for lang in sorted(SCRIPT_RANGES)]
+            for lang in langs]
 
 
 def language_scores(df: DataFrame, id_col: str, text_col: str,

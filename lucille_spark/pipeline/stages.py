@@ -725,7 +725,10 @@ class DetectLanguage(Stage):
                 .when(a["lang"] < b["lang"], -1)
                 .when(a["lang"] > b["lang"], 1).otherwise(0)), 1)
         n_chars = F.length(F.regexp_replace(clipped, r"\s", ""))
-        sc_conf = F.floor(sc["hits"] / n_chars * 100) / 100
+        # confidence from the REAL in-script char count (sc["chars"]),
+        # not the ranking key — marker/kana bonuses would push the ratio
+        # past 1.0 for uk/fa/ur text
+        sc_conf = F.floor(sc["chars"] / n_chars * 100) / 100
         script_hit = sc["hits"] > 0
         pick_lang = F.when(script_hit, sc["lang"]).otherwise(best["lang"])
         pick_conf = F.when(script_hit, sc_conf).otherwise(conf)

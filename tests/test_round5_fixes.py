@@ -466,3 +466,35 @@ def test_suggest(index_dir):
     sug = s.suggest("retur", k=5)
     assert sug and sug[0] == "return"
     assert s.suggest("zzzzqqqq") == []
+
+
+# ------------------------------- script-layer breadth: new blocks + markers
+def test_script_langid_breadth(spark):
+    """r5: six new script blocks (hi/bn/ta/th/hy/ka) and
+    marker-disambiguated uk-over-Cyrillic and fa/ur-over-Arabic — same
+    argmax shape as the kana rule; confidence comes from real in-script
+    chars so marker bonuses can't push it past 1.0."""
+    from lucille_spark.pipeline.stages import DetectLanguage
+
+    fixtures = [
+        (0, "Це її рідна мова і текст для перевірки", "uk"),
+        (1, "Это русский документ для тестирования", "ru"),
+        (2, "این یک متن فارسی است با گچ و پنیر", "fa"),
+        (3, "هذا مستند باللغة العربية للاختبار", "ar"),
+        (4, "یہ اردو زبان کا ایک متن ہے", "ur"),
+        (5, "यह हिंदी भाषा का एक वाक्य है", "hi"),
+        (6, "এটি একটি বাংলা বাক্য", "bn"),
+        (7, "இது ஒரு தமிழ் வாக்கியம்", "ta"),
+        (8, "นี่คือประโยคภาษาไทย", "th"),
+        (9, "Սա հայերեն նախադասություն է", "hy"),
+        (10, "ეს ქართული წინადადებაა", "ka"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in fixtures],
+                               "doc_id long, text string")
+    out = DetectLanguage(source="text", min_length=5).apply(df)
+    got = {r.doc_id: (r.language, r.language_confidence)
+           for r in out.collect()}
+    for i, _, want in fixtures:
+        lang, conf = got[i]
+        assert lang == want, (i, lang, want)
+        assert conf is not None and 0.0 < conf <= 1.0, (i, conf)
