@@ -41,7 +41,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # and 42k keeps each build long enough (~20s at 8 cores) that per-job
 # fixed cost stays a small fraction of the timing.
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "42000"))
-BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "520"))
+# 545 (r5): recent full runs land 407-473 s wall; the extra headroom
+# lets the opportunistic 4th scaling epoch actually fire (a 4-epoch
+# median resists the minute-scale host contention the membw probe
+# caught mid-run), while 545 + ~30 s of teardown stays inside the
+# driver budget that accepted r4's 528 s artifact
+BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "545"))
 SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "4"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
