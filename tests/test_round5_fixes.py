@@ -498,3 +498,46 @@ def test_script_langid_breadth(spark):
         lang, conf = got[i]
         assert lang == want, (i, lang, want)
         assert conf is not None and 0.0 < conf <= 1.0, (i, conf)
+
+
+# ----------------------- snippets occurrence-scan property (vs Python ref)
+def test_snippets_multi_property(spark):
+    """Property: the JVM split-scan prefix sum enumerates exactly the
+    left-to-right non-overlapping occurrences str.find would — for
+    randomized texts over a tiny alphabet that forces overlaps,
+    repeats, and adjacency."""
+    import random
+
+    rng = random.Random(20260817)
+    terms = ["ab", "aba", "b"]
+    rows = []
+    for i in range(80):
+        rows.append((i, "".join(rng.choice("ab ") for _ in range(
+            rng.randint(0, 40)))))
+
+    def py_occurrences(text, term):
+        out, start = [], 0
+        low = text.lower()
+        while True:
+            p = low.find(term, start)
+            if p < 0:
+                return out
+            out.append(p)
+            start = p + len(term)
+
+    want = {}
+    for i, text in rows:
+        occ = sorted(
+            (p, ord_, t)
+            for ord_, t in enumerate(terms)
+            for p in py_occurrences(text, t))
+        for frag, (p, _, t) in enumerate(occ[:4], 1):
+            want[(i, frag)] = (t, p)
+
+    from lucille_spark.query.executor_df import snippets_multi_df
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.frag): (r.matched_term, r.offset)
+           for r in snippets_multi_df(df, "doc_id", "text", terms,
+                                      window=5, n_frags=4).collect()}
+    assert got == want
