@@ -15,8 +15,13 @@ Scaling evidence: the same index-build job on the deterministic F1 corpus at
 local[N_LOW] vs local[N_HIGH] (the sandbox stand-in for N vs 4N executors),
 each level in its own persistent JVM (tools/bench_worker.py command loop),
 builds ALTERNATING low/high so every epoch's pair samples the same VM
-bandwidth phase; efficiency = median of per-epoch ratios / core ratio
-(BENCH.md documents the +-20% variance and the phase effect this cancels).
+bandwidth phase; every epoch is bracketed by cheap STREAM probes and
+QUALIFIED only if the host's bandwidth was not collapsed/inverted during
+it (r6: the r5 driver run recorded 0.605 while the probe showed 8 procs
+receiving LESS aggregate bandwidth than 2 — that minute measured the
+shared host, not the engine); efficiency = median of qualified per-epoch
+ratios / core ratio (BENCH.md documents the +-20% variance, the phase
+effect, and the collapse signature this excludes).
 WAND latencies are medians of BENCH_QUERY_REPS cold-searcher runs.
 """
 
@@ -48,6 +53,20 @@ SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "42000"))
 # driver budget that accepted r4's 528 s artifact
 BUDGET_SEC = float(os.environ.get("BENCH_BUDGET_SEC", "545"))
 SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "4"))
+# r6 probe qualification (VERDICT r5 #1): an epoch measured while the host's
+# deliverable bandwidth is collapsed/inverted (the r5 collapse recorded
+# 1.4 GB/s at 8 procs vs 2.6 at 2 — MORE procs delivering LESS bandwidth)
+# does not measure the engine and is excluded from the headline efficiency
+# median. Two tests, both from the bracketing best-of-2 STREAM probes:
+#   ratio: hi-bw >= 1.3x lo-bw (clean ratio is ~2-3, but probe noise on a
+#     clean minute has read as low as 1.47, so 1.5 would false-disqualify;
+#     the inversion signature is <1.1, so 1.3 still excludes it), AND
+#   floor: hi-bw >= 4 GB/s (clean-phase 8-proc readings are 9-30 GB/s,
+#     collapse readings 0.7-1.4 — the floor catches a DEEP but
+#     proportional collapse the ratio test alone would pass).
+QUAL_RATIO = float(os.environ.get("BENCH_QUAL_RATIO", "1.3"))
+QUAL_FLOOR = float(os.environ.get("BENCH_QUAL_FLOOR_GBPS", "4.0"))
+MAX_EPOCHS = int(os.environ.get("BENCH_SCALE_MAX_EPOCHS", "6"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 # N and 4N cores for the scaling pair. 2->8 is the regime where this VM's
@@ -283,7 +302,7 @@ def main():
         # the residual epoch-1 bias then UNDERSTATES efficiency (the high
         # side is the one penalized), so the recorded number stays a
         # conservative lower bound rather than blowing the driver timeout.
-        warmup_epoch = None
+        warmup_note = None
         if BUDGET_SEC - (time.time() - t_suite) >= 360:
             n_warm = scale_docs * 2 // 3
             for cpus in (lo, hi):
@@ -291,19 +310,86 @@ def main():
                 procs[cpus].stdin.flush()
             for cpus in (lo, hi):
                 await_line(procs[cpus], "WARMED")
-            warmup_epoch = "concurrent untimed %d-doc build per level" % n_warm
-        lows, highs = [], []
-        while len(lows) < SCALE_RUNS:
-            if len(lows) >= 3:
+            warmup_note = "concurrent untimed %d-doc build per level" % n_warm
+
+        # --- probe-qualified epochs (r6, VERDICT r5 #1) ----------------
+        # bench.py used to measure whatever minute it landed on; the r5
+        # driver artifact recorded efficiency 0.605 because the host's
+        # bandwidth INVERTED mid-run (membw {2: 2.6, 8: 1.4}) while the
+        # same code measured 0.861 in a clean window. Each timed epoch is
+        # now bracketed by a cheap STREAM probe at both pair levels; the
+        # epoch is QUALIFIED iff both bracketing probes show hi-bw >=
+        # QUAL_RATIO x lo-bw AND hi-bw >= QUAL_FLOOR GB/s (a deep
+        # proportional collapse passes the ratio test but starves the
+        # bandwidth-hungrier 8-core side disproportionately — BENCH.md
+        # r6 method note). The headline `efficiency` is the median
+        # over qualified epochs (all epochs remain in the artifact as
+        # context); epochs are retried until SCALE_RUNS qualified or
+        # budget. If the pre-probe already shows collapse and there is
+        # budget slack beyond the >=3-epoch floor, we SLEEP and re-probe
+        # (collapse windows are minute-granularity) rather than burn a
+        # ~120 s epoch that is known-disqualified. Timed epochs stay at
+        # full SCALE_DOCS always (the fixed-cost analysis forbids
+        # shrinking them).
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from membw import measure as _membw
+
+        probe_secs = []
+
+        def _probe():
+            # cheap but MUST be best-of-2: a single repeat folds Pool
+            # startup + first-touch page backing into the timing and
+            # reads 0.3-1.4 GB/s even on a clean host (calibrated r6 —
+            # best-of-2 reads 6-30 GB/s on the same minutes, 1-8 s per
+            # pair). Runs while both worker JVMs sit idle between RUN
+            # commands, so it reads host state, not our own load.
+            try:
+                t0 = time.time()
+                p = {c: _membw(c, iters=2, repeats=2) for c in (lo, hi)}
+                probe_secs.append(round(time.time() - t0, 1))
+                return p
+            except Exception:  # probe must never sink the artifact
+                return None
+
+        def _clean(p):
+            # None (probe failed) cannot disqualify: no evidence
+            return p is None or (p[hi] >= QUAL_RATIO * max(p[lo], 1e-9)
+                                 and p[hi] >= QUAL_FLOOR)
+
+        epochs = []  # {low, high, ratio, pre, post, qualified}
+        est_epoch = 200.0  # refined from the first measured epoch
+        wait_sec = 0.0
+        pre = _probe()
+        while len(epochs) < MAX_EPOCHS:
+            if sum(e["qualified"] for e in epochs) >= SCALE_RUNS:
+                break
+            remaining = BUDGET_SEC - (time.time() - t_suite)
+            if len(epochs) >= 3 and remaining < est_epoch + 30:
                 # epochs beyond the 3rd are opportunistic: the north rule
                 # needs medians of >=3 pairs, and finishing inside the
-                # driver timeout beats a 4th sample on a slow-VM day
-                remaining = BUDGET_SEC - (time.time() - t_suite)
-                if remaining < (lows[-1] + highs[-1]) + 30:
-                    break
-            pair = _epoch(flip=len(lows) % 2 == 1)
-            lows.append(pair[0])
-            highs.append(pair[1])
+                # driver timeout beats another sample on a slow-VM day
+                break
+            owed = max(0, 3 - len(epochs))  # epochs owed to the >=3 floor
+            if (not _clean(pre)
+                    and remaining > (owed + 1) * est_epoch + 90):
+                time.sleep(20)
+                wait_sec += 20
+                pre = _probe()
+                continue
+            pair = _epoch(flip=len(epochs) % 2 == 1)
+            post = _probe()
+            epochs.append({
+                "low": pair[0], "high": pair[1],
+                "ratio": pair[0] / pair[1],
+                "pre": pre, "post": post,
+                "qualified": _clean(pre) and _clean(post),
+            })
+            est_epoch = pair[0] + pair[1] + (probe_secs[-1]
+                                             if probe_secs else 5.0)
+            pre = post  # post-probe doubles as the next epoch's pre-probe
+        lows = [e["low"] for e in epochs]
+        highs = [e["high"] for e in epochs]
         results = {}
         for cpus in (lo, hi):
             p = procs[cpus]
@@ -316,10 +402,18 @@ def main():
             s = sorted(xs)
             return (s[(len(s) - 1) // 2] + s[len(s) // 2]) / 2
 
-        ratios = [l / h for l, h in zip(lows, highs)]
-        eff = _median(ratios) / (hi / lo)
-        thr_low = round(scale_docs / _median(lows), 1)
-        thr_high = round(scale_docs / _median(highs), 1)
+        ratios = [e["ratio"] for e in epochs]
+        q_eps = [e for e in epochs if e["qualified"]]
+        # headline = qualified median; if NO epoch qualified (host
+        # collapsed for the whole run), fall back to the all-epoch
+        # median — flagged, so the number is never silently phase-noise
+        use = q_eps if q_eps else epochs
+        use_lows = [e["low"] for e in use]
+        use_highs = [e["high"] for e in use]
+        use_ratios = [e["ratio"] for e in use]
+        eff = _median(use_ratios) / (hi / lo)
+        thr_low = round(scale_docs / _median(use_lows), 1)
+        thr_high = round(scale_docs / _median(use_highs), 1)
         scaling = {
             "n_docs": scale_docs,
             "runs_per_level": len(lows),
@@ -327,39 +421,60 @@ def main():
                        "(both JVMs live, alternating builds, within-epoch "
                        "order flipped each epoch) after a per-JVM 10k "
                        "warmup AND one concurrent untimed 2/3-size "
-                       "warmup build; efficiency = median of per-epoch "
+                       "warmup build; each epoch bracketed by best-of-2 "
+                       "STREAM probes at both levels, qualified iff "
+                       f"hi-bw >= {QUAL_RATIO}x lo-bw AND hi-bw >= "
+                       f"{QUAL_FLOOR} GB/s on both brackets; "
+                       "efficiency = median of QUALIFIED per-epoch "
                        "ratios / core ratio"),
-            "warmup_epoch": warmup_epoch,
+            "warmup_note": warmup_note,
             "cpus_low": lo, "docs_per_sec_low": thr_low,
             "build_secs_low": lows,
             "cpus_high": hi, "docs_per_sec_high": thr_high,
             "build_secs_high": highs,
             "epoch_ratios": [round(r, 3) for r in ratios],
-            "speedup": round(_median(ratios), 3),
+            "epoch_qualified": [e["qualified"] for e in epochs],
+            "epoch_probes_gbps": [
+                {"pre": e["pre"], "post": e["post"]} for e in epochs],
+            "n_qualified": len(q_eps),
+            "qual_ratio": QUAL_RATIO,
+            "qual_floor_gbps": QUAL_FLOOR,
+            "probe_secs": probe_secs,
+            "probe_wait_sec": round(wait_sec, 1),
+            "speedup": round(_median(use_ratios), 3),
             "efficiency": round(eff, 3),
-            # labeled context metrics, not the headline: the best epoch
-            # bounds what the engine reaches when host contention briefly
-            # lifts; ratio-of-medians is the r3-series continuity metric
+            "efficiency_qualified": bool(q_eps),
+            # labeled context metrics, not the headline: all-epoch median
+            # is the r5-series continuity metric (pre-qualification
+            # definition); best epoch bounds what the engine reaches when
+            # host contention briefly lifts; ratio-of-medians is the
+            # r3-series continuity metric (over qualified epochs)
+            "efficiency_all_epochs": round(_median(ratios) / (hi / lo), 3),
             "efficiency_best_epoch": round(max(ratios) / (hi / lo), 3),
             "efficiency_ratio_of_medians": round(
-                (_median(lows) / _median(highs)) / (hi / lo), 3),
+                (_median(use_lows) / _median(use_highs)) / (hi / lo), 3),
         }
-        queries["scaling_low_build"] = round(_median(lows), 3)
-        queries["scaling_high_build"] = round(_median(highs), 3)
+        queries["scaling_low_build"] = round(_median(use_lows), 3)
+        queries["scaling_high_build"] = round(_median(use_highs), 3)
         # host-state context (r5): the shared-host VM's deliverable
         # bandwidth swings by >5x between phases (membw probe recorded
         # 1.7 GB/s at 2 procs during one r5 run vs ~14 in clean phases),
         # and the 8-core side of the pair is the bandwidth-sensitive
         # one — so every efficiency number must be read against the
-        # host state it was measured in. ~15 s.
-        try:
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tools"))
-            from membw import measure as _membw
-            scaling["membw_gbps"] = {str(c): _membw(c, repeats=2)
+        # host state it was measured in. r6: the per-epoch bracket
+        # probes already measured exactly this — reuse the final
+        # bracket instead of paying another ~15-30 s probe.
+        last_probe = next((e["post"] for e in reversed(epochs)
+                           if e["post"] is not None), pre)
+        if last_probe is not None:
+            scaling["membw_gbps"] = {str(c): last_probe[c]
                                      for c in (lo, hi)}
-        except Exception as e:  # probe must never sink the artifact
-            scaling["membw_gbps"] = {"error": str(e)}
+        else:
+            try:
+                scaling["membw_gbps"] = {str(c): _membw(c, repeats=2)
+                                         for c in (lo, hi)}
+            except Exception as e:  # probe must never sink the artifact
+                scaling["membw_gbps"] = {"error": str(e)}
 
     out = {
         "metric": ("index-build docs/sec + BM25 WAND top-k latency + "

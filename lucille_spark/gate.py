@@ -584,6 +584,72 @@ def bm25_grouped_top3(spark, sf_dir):
               "doc_id string, score double")
 
 
+_GROUPED_DF_SQL = f"""
+WITH {_TOKS_CTE},
+d AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf_0,
+       CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_1
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+       CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1
+  FROM d
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+    0.0 + (CASE WHEN tf_0 > 0 THEN ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+         * (tf_0 / (tf_0 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))) ELSE 0.0 END)
+      + (CASE WHEN tf_1 > 0 THEN ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+         * (tf_1 / (tf_1 + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))) ELSE 0.0 END)
+      AS raw_score,
+    (tf_0 > 0 OR tf_1 > 0) AS matched
+  FROM d, stats
+),
+hits AS (SELECT doc_id, lang, raw_score FROM scored
+         WHERE matched AND lang IS NOT NULL),
+dr AS (
+  SELECT lang, doc_id, raw_score,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY raw_score DESC, doc_id) AS BIGINT) AS doc_rank
+  FROM hits
+),
+gtop AS (SELECT lang, raw_score AS best FROM dr WHERE doc_rank = 1),
+granked AS (
+  SELECT lang, CAST(row_number() OVER (ORDER BY best DESC, lang)
+                    AS BIGINT) AS grp_rank
+  FROM gtop
+)
+SELECT dr.lang AS group_value, g.grp_rank, dr.doc_rank, dr.doc_id,
+       ROUND(dr.raw_score, 4) AS score
+FROM granked g JOIN dr USING (lang)
+WHERE g.grp_rank <= 4 AND dr.doc_rank <= 2
+"""
+
+
+@register("bm25_grouped_df", sql=_GROUPED_DF_SQL)
+def bm25_grouped_df(spark, sf_dir):
+    """Corpus-side result grouping (VERDICT r5 #3 — the scale twin of
+    `bm25_grouped_top3`'s searcher route, which scores every match on
+    the driver like Lucene's two-pass collector): top 4 lang groups by
+    best-doc BM25, 2 docs each, straight off the documents table as one
+    DataFrame plan — narrow scoring, ONE partitioned window shuffle on
+    the group key, TakeOrdered over one-row-per-group, broadcast join
+    back. The route a broad query takes at 100x scale, where O(matches)
+    on the driver stops being viable. Twin-equality with the searcher
+    route is pytest-asserted (test_round6_fixes)."""
+    from lucille_spark.query.executor_df import grouped_topk_df
+
+    return (grouped_topk_df(_docs(spark, sf_dir), "doc_id", "text",
+                            "lang", ["merge", "vector"],
+                            k_groups=4, docs_per_group=2)
+            .select("group_value", "grp_rank", "doc_rank",
+                    F.col("doc_id").cast("long").alias("doc_id"), "score"))
+
+
 @register("bool_match_not", sql=f"""
 WITH {_TOKS_CTE}
 SELECT doc_id FROM toks
@@ -1668,6 +1734,66 @@ def dedup_e2e_verified(spark, sf_dir):
                       F.round("jaccard", 4).alias("jaccard"))
 
 
+def _dedup_clusters_sql(n_hashes=8, band_size=2, n=3, threshold=0.01):
+    """Recursive-CTE connected components over the verified near-dup
+    pairs: cluster_id = min doc_id reachable through pairs with exact
+    Jaccard >= threshold (transitive closure — chains A-B, B-C are ONE
+    cluster). Replays the whole pipeline: MinHash -> LSH -> verify ->
+    closure."""
+    verified = _dedup_e2e_sql(n_hashes, band_size, n, threshold)
+    return f"""
+WITH RECURSIVE verified AS (
+  SELECT doc_a, doc_b FROM ({verified}) v
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM verified
+),
+walk(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id
+FROM walk GROUP BY a
+"""
+
+
+@register("dedup_near_clusters", sql=_dedup_clusters_sql())
+def dedup_near_clusters(spark, sf_dir):
+    """Near-dup cluster resolution (VERDICT r5 #2) — the transitive step
+    after pairwise verification that every real training-data dedup run
+    needs: verified pairs -> connected components -> (doc_id, cluster_id)
+    with cluster_id = MIN doc_id in the component (the keeper convention
+    of dedupe_exact, so `doc_id != cluster_id` IS the drop set). Runs the
+    full pipeline on the doc_id%10=0 subset (see _dedup_e2e_sql) with
+    Jaccard >= 0.01 (the synthetic corpus's 31-term vocabulary caps
+    3-gram Jaccard near 0.02 at sf0.01, so a real-world 0.5-0.8 cut
+    would gate zero rows; 0.01 keeps tens-to-thousands of pairs live at
+    every SF); the DuckDB oracle replays the closure as a recursive
+    CTE. Scale shape: iterative min-label propagation — one hash join +
+    one min-groupBy per round over the PAIRS (tiny vs the corpus), rounds
+    = component diameter (near-dup clusters are quasi-cliques)."""
+    from lucille_spark.ml.dedup import (lsh_candidate_pairs,
+                                        minhash_signatures,
+                                        near_dup_clusters,
+                                        verify_candidate_pairs)
+
+    docs = _docs(spark, sf_dir)
+    subset = docs.filter(F.col("doc_id") % 10 == 0)
+    sigs = minhash_signatures(subset, "doc_id", "text", 8)
+    cands = lsh_candidate_pairs(sigs, 8, band_size=2)
+    verified = verify_candidate_pairs(subset, cands, "doc_id", "text",
+                                      n=3, threshold=0.01)
+    # max_iter is a bound, not a cost: the loop exits on convergence
+    return (near_dup_clusters(verified.select("doc_a", "doc_b"),
+                              max_iter=50)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id")))
+
+
 @register("ann_batch_topk", sql="""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id <= 2),
@@ -2253,18 +2379,25 @@ GATE_ORDER = [
     # -- WAND canaries + every term-expansion flavor + r5 grouping
     "wand_index_top10", "wand_prefix_top10", "wand_fuzzy_top10",
     "wand_range_top10", "wand_wildcard_top10", "bm25_grouped_top3",
+    # -- r6: corpus-side grouping twin (ann_cosine_top10 rotated out:
+    #    its brute-force cosine arithmetic stays driver-visible inside
+    #    ann_batch_topk (same scoring, query fan-out) and as the exact
+    #    rerank step of ann_cosine_ivf_top10 / verify step of
+    #    ann_near_dup_pairs; green r2-r5 + test_ml_ops)
+    "bm25_grouped_df",
     # -- round-4/5 query-plane features
     "mlt_top10", "facet_counts", "facet_docvalues", "text_snippets",
     # -- percolator boolean plane (r5 adds the multi-term nodes)
     "bool_match_not", "bool_match_phrase", "bool_match_multiterm",
-    # -- dedup plane (simhash rotated out for bm25_grouped_top3:
-    #    green r2-r4 and covered by test_ml_ops; the minhash/LSH/e2e/
-    #    jaccard chain keeps the dedup plane driver-visible)
+    # -- dedup plane (simhash rotated out r5 for bm25_grouped_top3;
+    #    ngram_jaccard rotated out r6 for dedup_near_clusters — green
+    #    r2-r5 and its exact-Jaccard arithmetic stays driver-visible
+    #    inside dedup_e2e_verified/dedup_near_clusters, which subsume it)
     "dedup_exact", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_lsh_candidate_pairs",
-    "dedup_e2e_verified",
+    "dedup_lsh_candidate_pairs", "dedup_e2e_verified",
+    "dedup_near_clusters",
     # -- ANN / embedding plane (near-dup entries never driver-verified)
-    "ann_cosine_top10", "ann_cosine_ivf_top10", "ann_cosine_lsh_top10",
+    "ann_cosine_ivf_top10", "ann_cosine_lsh_top10",
     "ann_batch_topk", "ann_near_dup_pairs", "ann_near_dup_lsh",
     # -- text-analysis plane (r5 adds benchmark decontamination)
     "text_token_counts", "text_quality", "text_fingerprint",
@@ -2287,7 +2420,8 @@ GATE_ORDER = [
     # (window_topk_per_user rotated out for text_decontam: sessionize +
     #  windowed_counts keep window ops driver-visible; topk is
     #  pytest-covered in the gate goldens)
-    "window_topk_per_user", "dedup_simhash",
+    "window_topk_per_user", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_cosine_top10",
     "stage_entities", "db_child_join",
     "bm25_or", "bm25_rare_or", "bm25_not", "bm25_boosted",
     "wand_boosted_top10", "wand_conjunctive_top10",

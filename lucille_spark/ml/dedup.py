@@ -284,3 +284,74 @@ def verify_candidate_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
     return (out.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) connected components over verified near-dup
+    pairs — the transitive step every real dedup run needs (chains A-B,
+    B-C are ONE cluster; pairwise keep-one gets them wrong).
+
+    Iterative min-label propagation: every node starts labelled with its
+    own id; each round, a node's label becomes the min of its own and all
+    neighbours' labels; converged when no label changes. cluster_id is
+    therefore the MIN doc_id in the component — the same keeper
+    convention as :func:`dedupe_exact`.
+
+    Scale shape: each round is one hash-partitioned join (edges x labels,
+    both keyed on doc id) + one min-groupBy — no collect, no driver-side
+    graph. Rounds needed = component diameter, and near-dup components
+    are shallow (dup clusters are quasi-cliques: LSH emits most in-pair
+    edges directly), so the loop converges in a handful of rounds;
+    ``max_iter`` bounds it and the convergence check is a count of
+    changed labels. Labels are localCheckpoint()ed each round so the
+    plan doesn't grow with iterations (and AQE can't re-lay partitions
+    under the self-referencing lineage)."""
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels,
+                           edges["src"] == labels["doc_id"])
+                .select(F.col("dst").alias("doc_id"), "cluster_id"))
+        new_labels = (prop.unionByName(labels)
+                      .groupBy("doc_id")
+                      .agg(F.min("cluster_id").alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedupe_near(df: DataFrame, id_col: str, text_col: str,
+                threshold: float = 0.7, n: int = 3, n_hashes: int = 8,
+                band_size: int = 2,
+                max_bucket_size: Optional[int] = None) -> DataFrame:
+    """Keep one doc per near-duplicate cluster: the full MinHash → banded
+    LSH → exact-Jaccard verify → connected components → keep-min-id
+    pipeline as one call (the near-dup twin of :func:`dedupe_exact`).
+
+    Keeper = min doc_id per cluster (== cluster_id from
+    :func:`near_dup_clusters`); everything else in a cluster is dropped
+    via one left-anti join — the corpus never does anything quadratic:
+    LSH bounds candidates, verify runs only on candidates, and the
+    closure runs only on verified pairs (tiny relative to the corpus)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes=n_hashes,
+                                band_size=band_size,
+                                max_bucket_size=max_bucket_size)
+    verified = verify_candidate_pairs(df, cands, id_col, text_col, n=n,
+                                      threshold=threshold)
+    clusters = near_dup_clusters(verified.select("doc_a", "doc_b"))
+    drop = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

@@ -61,31 +61,28 @@ def phrase_pred(terms: Sequence[str], toks_col="toks") -> Column:
         F.sequence(F.lit(0), F.size(toks) - n), window_ok)
 
 
-def bm25_query_df(
+def _bm25_matches_df(
     df: DataFrame,
     id_col: str,
     text_col: str,
     terms: Sequence[str],
-    k: int = 10,
     mode: str = "or",
     exclude: Sequence[str] = (),
     phrases: Sequence[Sequence[str]] = (),
     sloppy_phrases: Sequence[tuple] = (),
-    score_decimals: int = 4,
     boosts: Optional[dict] = None,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """BM25 top-k as a DataFrame: (doc_id, rank, score).
-
-    mode="or"  — match any scoring term;  mode="and" — require all.
-    ``exclude`` terms must be absent; ``phrases`` must appear consecutively
-    (their constituent terms must already be included in ``terms`` to score,
-    mirroring the oracle's positive-term semantics); ``sloppy_phrases`` is
-    [(terms, slop), ...] with the span-width contract of parser.Phrase. ``boosts`` maps a term
-    to its Lucene clause boost (``term^2``): the term's contribution is
-    multiplied as (idf * boost) * tfnorm, matching the searcher's
-    fold-into-idf association exactly.
-    """
-    docs = prepare_docs(df, id_col, text_col)
+    """Shared scoring core of :func:`bm25_query_df` and
+    :func:`grouped_topk_df`: the BM25-scored, predicate-filtered match
+    set (columns ``doc_id``, ``score`` + ``keep_cols`` passed through).
+    Entirely narrow except the one map-side-combined stats aggregate
+    broadcast back via crossJoin."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("toks"),
+        *[F.col(c) for c in keep_cols],
+    ).withColumn("dl", F.size("toks").cast("long"))
     uniq = list(dict.fromkeys(terms))
     for i, t in enumerate(uniq):
         docs = docs.withColumn(f"tf_{i}", _tf_col(t))
@@ -130,7 +127,36 @@ def bm25_query_df(
             & sloppy_phrase_pred(list(ph), slop)
     for t in exclude:
         match = match & (F.size(F.filter("toks", lambda x: x == F.lit(t))) == 0)
-    scored = scored.filter(match if match is not None else F.lit(False))
+    return scored.filter(match if match is not None else F.lit(False))
+
+
+def bm25_query_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k: int = 10,
+    mode: str = "or",
+    exclude: Sequence[str] = (),
+    phrases: Sequence[Sequence[str]] = (),
+    sloppy_phrases: Sequence[tuple] = (),
+    score_decimals: int = 4,
+    boosts: Optional[dict] = None,
+) -> DataFrame:
+    """BM25 top-k as a DataFrame: (doc_id, rank, score).
+
+    mode="or"  — match any scoring term;  mode="and" — require all.
+    ``exclude`` terms must be absent; ``phrases`` must appear consecutively
+    (their constituent terms must already be included in ``terms`` to score,
+    mirroring the oracle's positive-term semantics); ``sloppy_phrases`` is
+    [(terms, slop), ...] with the span-width contract of parser.Phrase. ``boosts`` maps a term
+    to its Lucene clause boost (``term^2``): the term's contribution is
+    multiplied as (idf * boost) * tfnorm, matching the searcher's
+    fold-into-idf association exactly.
+    """
+    scored = _bm25_matches_df(df, id_col, text_col, terms, mode=mode,
+                              exclude=exclude, phrases=phrases,
+                              sloppy_phrases=sloppy_phrases, boosts=boosts)
 
     # TakeOrdered(k) — no global sort materializes
     topk = (
@@ -144,6 +170,67 @@ def bm25_query_df(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "rank", F.round("score", score_decimals).alias("score")
     )
+
+
+def grouped_topk_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    terms: Sequence[str],
+    k_groups: int = 10,
+    docs_per_group: int = 2,
+    mode: str = "or",
+    exclude: Sequence[str] = (),
+    phrases: Sequence[Sequence[str]] = (),
+    sloppy_phrases: Sequence[tuple] = (),
+    score_decimals: int = 4,
+    boosts: Optional[dict] = None,
+) -> DataFrame:
+    """Corpus-side twin of ``IndexSearcher.search_grouped`` (Solr
+    ``group=true&group.field=F``, cf. the reference's Solr delegation):
+    the top ``k_groups`` groups ranked by their best document's BM25
+    score (tie: group value asc as a string — the searcher stringifies
+    group keys), each with its ``docs_per_group`` best docs (tie: doc_id
+    asc). Output: (group_value, grp_rank, doc_rank, doc_id, score).
+    Null group values are dropped, matching the searcher route's
+    documented deviation from Solr's null bucket.
+
+    This is the route for BROAD queries at scale, where the searcher's
+    two-pass collector (O(matches) on the driver) stops being viable:
+    score matches narrowly -> ONE shuffle on the group key for the
+    partitioned row_number window -> per-group head rows (groups x
+    docs_per_group — tiny) -> TakeOrdered(k_groups) over one row per
+    group -> broadcast join of the kept groups back onto the head rows.
+    No global window over matches, no corpus-sized driver collect."""
+    from pyspark.sql.window import Window
+
+    scored = _bm25_matches_df(df, id_col, text_col, terms, mode=mode,
+                              exclude=exclude, phrases=phrases,
+                              sloppy_phrases=sloppy_phrases, boosts=boosts,
+                              keep_cols=(group_col,))
+    hits = (scored.filter(F.col(group_col).isNotNull())
+            .select(F.col(group_col).cast("string").alias("group_value"),
+                    "doc_id", "score"))
+    wd = Window.partitionBy("group_value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    head = (hits.withColumn("doc_rank",
+                            F.row_number().over(wd).cast("long"))
+            .filter(F.col("doc_rank") <= docs_per_group))
+    best = head.filter(F.col("doc_rank") == 1).select(
+        "group_value", F.col("score").alias("best"))
+    # TakeOrdered over one row per group, then a rank window over only
+    # k_groups rows (benign, like bm25_query_df's post-limit window)
+    top_groups = (best.orderBy(F.col("best").desc(),
+                               F.col("group_value").asc())
+                  .limit(k_groups))
+    wg = Window.orderBy(F.col("best").desc(), F.col("group_value").asc())
+    ranked = (top_groups.withColumn(
+        "grp_rank", F.row_number().over(wg).cast("long"))
+        .select("group_value", "grp_rank"))
+    return (head.join(F.broadcast(ranked), "group_value")
+            .select("group_value", "grp_rank", "doc_rank", "doc_id",
+                    F.round("score", score_decimals).alias("score")))
 
 
 def sloppy_phrase_pred(terms: Sequence[str], slop: int,
