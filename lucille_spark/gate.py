@@ -2303,18 +2303,26 @@ WHERE len(list_filter(toks, t -> t >= 'hash' AND t <= 'hatch')) > 0
 UNION ALL
 SELECT doc_id, 'fz' AS q FROM toks
 WHERE len(list_filter(toks, t -> levenshtein(t, 'merge') <= 1)) > 0
+UNION ALL
+SELECT doc_id, 'must' AS q FROM toks
+WHERE len(list_filter(toks, t -> t = 'merge')) > 0
+  AND len(list_filter(toks, t -> t = 'vector')) = 0
 """)
 def bool_match_multiterm(spark, sf_dir):
     """Percolator multi-term queries (r5): wildcard/prefix/range/fuzzy
     MatchQuery nodes compile to one F.exists over the doc's token array —
     JVM-side, no dictionary expansion. The oracle replays each node as a
     DuckDB list_filter (LIKE for wildcard/prefix — whole-token anchored
-    like the Spark regex — range comparison, levenshtein for fuzzy)."""
+    like the Spark regex — range comparison, levenshtein for fuzzy).
+    r6 adds the classic-parser unary + (MUST, `stage/MatchQuery.java:
+    85-90`): `+merge filter -vector` matches merge AND NOT vector — the
+    must clause alone decides, the SHOULD term stops constraining."""
     from lucille_spark.pipeline.stages import MatchQuery
 
     st = MatchQuery(queries={
         "wild": "text:m?rge", "pre": "text:ha*",
         "rng": "text:[hash TO hatch]", "fz": "text:merge~1",
+        "must": "+merge filter -vector",
     }, default_field="text")
     out = st.apply(_docs(spark, sf_dir))
     return out.select("doc_id", F.explode("matched_queries").alias("q"))

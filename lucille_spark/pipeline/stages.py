@@ -1137,9 +1137,9 @@ class MatchQuery(Stage):
 
     def _node_pred(self, node, df):
         from lucille_spark.analysis import tokenize_col
-        from lucille_spark.query.parser import (And, Fuzzy, MatchAll, Not,
-                                                Or, Phrase, Prefix, Term,
-                                                TermRange, Wildcard)
+        from lucille_spark.query.parser import (And, Fuzzy, MatchAll, Must,
+                                                Not, Or, Phrase, Prefix,
+                                                Term, TermRange, Wildcard)
 
         def toks(fld):
             if fld not in df.columns:
@@ -1221,6 +1221,8 @@ class MatchQuery(Stage):
             return F.coalesce(pred, F.lit(False))
         if isinstance(node, Not):
             return ~self._node_pred(node.child, df)
+        if isinstance(node, Must):
+            return self._node_pred(node.child, df)
         if isinstance(node, And):
             out = None
             for c in node.children:
@@ -1228,11 +1230,21 @@ class MatchQuery(Stage):
                 out = p if out is None else (out & p)
             return out
         if isinstance(node, Or):
-            pos = [c for c in node.children if not isinstance(c, Not)]
+            # Lucene occurs: MUST clauses (unary +) alone decide the
+            # match when present; SHOULDs then stop constraining it;
+            # MUST_NOT always excludes.
+            musts = [c for c in node.children if isinstance(c, Must)]
+            shoulds = [c for c in node.children
+                       if not isinstance(c, (Must, Not))]
             neg = [c for c in node.children if isinstance(c, Not)]
-            out = F.lit(False)
-            for c in pos:
-                out = out | self._node_pred(c, df)
+            if musts:
+                out = F.lit(True)
+                for c in musts:
+                    out = out & self._node_pred(c, df)
+            else:
+                out = F.lit(False)
+                for c in shoulds:
+                    out = out | self._node_pred(c, df)
             for c in neg:
                 out = out & ~self._node_pred(c.child, df)
             return out
@@ -1240,7 +1252,7 @@ class MatchQuery(Stage):
         raise QueryParseError(
             f"MatchQuery does not support {type(node).__name__} nodes "
             f"({node!r}); supported: Term/Phrase (incl. sloppy)/Prefix/"
-            f"Wildcard/TermRange/Fuzzy/MatchAll and AND/OR/NOT")
+            f"Wildcard/TermRange/Fuzzy/MatchAll and AND/OR/NOT/+")
 
     def apply(self, df):
         from lucille_spark.query.parser import parse

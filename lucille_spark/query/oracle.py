@@ -18,7 +18,8 @@ k1 = 1.2, b = 0.75. Top-k tie-break: (-score, doc_id ascending).
 
 Boolean semantics mirror Lucene's BooleanQuery: in an OR context a negated
 clause is a MUST_NOT over the whole disjunction; a query with only negative
-clauses matches nothing.
+clauses matches nothing; unary-+ MUST clauses, when present, alone decide
+matching (each required) while the SHOULD clauses become score-only.
 """
 
 from __future__ import annotations
@@ -29,7 +30,8 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 
 from lucille_spark import BM25_B, BM25_K1
 from lucille_spark.analysis import tokenize_py
-from lucille_spark.query.parser import And, Not, Or, Phrase, Term, parse
+from lucille_spark.query.parser import (And, Must, Not, Or, Phrase, Term,
+                                         parse)
 
 
 class OracleIndex:
@@ -122,6 +124,8 @@ class OracleIndex:
             return self._phrase_docs(node)
         if isinstance(node, Not):
             return set(range(self.n_docs)) - self.matching(node.child)
+        if isinstance(node, Must):
+            return self.matching(node.child)
         if isinstance(node, And):
             res = None
             for c in node.children:
@@ -129,11 +133,21 @@ class OracleIndex:
                 res = s if res is None else res & s
             return res or set()
         if isinstance(node, Or):
-            positive = [c for c in node.children if not isinstance(c, Not)]
+            # Lucene BooleanQuery occurs: MUST clauses (unary +) alone
+            # decide matching when present; SHOULD clauses then only
+            # contribute score; MUST_NOT always excludes.
+            musts = [c for c in node.children if isinstance(c, Must)]
             negative = [c for c in node.children if isinstance(c, Not)]
-            if positive:
+            should = [c for c in node.children
+                      if not isinstance(c, (Must, Not))]
+            if musts:
+                res = None
+                for c in musts:
+                    s = self.matching(c)
+                    res = s if res is None else res & s
+            elif should:
                 res = set()
-                for c in positive:
+                for c in should:
                     res |= self.matching(c)
             else:
                 res = set()  # pure-negative boolean matches nothing (Lucene)

@@ -23,6 +23,11 @@ the classic multi-term family):
   - match-all              ``*:*`` (MatchAllDocsQuery)
 
 Default operator is OR (Lucene's default). ``-x`` / ``NOT x`` is MUST_NOT.
+``+x`` is MUST (Lucene classic ``+required``): in a default-OR clause
+list, the must clauses alone decide matching (every one required) while
+the remaining SHOULD clauses become optional score-only contributors —
+``a +b c`` matches exactly the docs containing ``b``, scored over all
+three. In an AND context ``+`` is a no-op (already required).
 The AST is engine-neutral; executors live in ``oracle.py`` (NumPy),
 ``executor_df.py`` (DataFrame), ``wand.py`` (block-max WAND).
 """
@@ -152,6 +157,17 @@ class And:
 
 
 @dataclass(frozen=True)
+class Must:
+    """Lucene classic unary ``+`` (BooleanClause.Occur.MUST,
+    `stage/MatchQuery.java:85-90` feeds the classic QP which accepts
+    `+required`). Transparent for scoring (the child's terms score like
+    any positive clause); in an Or clause list the must children are
+    each required and the plain (SHOULD) children stop constraining the
+    match. Standalone / inside And it is the identity wrapper."""
+    child: object
+
+
+@dataclass(frozen=True)
 class Or:
     children: tuple
 
@@ -243,7 +259,10 @@ class _Parser:
             return Not(self.parse_unary())
         if t.group("plus"):
             self.next()
-            return self.parse_unary()
+            child = self.parse_unary()
+            # +-x / +NOT x: a required prohibition is just the
+            # prohibition (Lucene flattens it the same way)
+            return child if isinstance(child, Not) else Must(child)
         return self.parse_atom()
 
     def parse_atom(self):
@@ -409,6 +428,9 @@ def expand_prefixes(node, expander, max_expansions: int = 128,
     if isinstance(node, Not):
         return Not(expand_prefixes(node.child, expander, max_expansions,
                                    **kw))
+    if isinstance(node, Must):
+        return Must(expand_prefixes(node.child, expander, max_expansions,
+                                    **kw))
     if isinstance(node, And):
         return And(tuple(expand_prefixes(c, expander, max_expansions, **kw)
                          for c in node.children))
@@ -431,6 +453,8 @@ def positive_terms(node) -> List[Term]:
                 out.extend(Term(n.field, t, n.boost) for t in n.terms)
         elif isinstance(n, Not):
             walk(n.child, not negated)
+        elif isinstance(n, Must):
+            walk(n.child, negated)
         elif isinstance(n, (And, Or)):
             for c in n.children:
                 walk(c, negated)

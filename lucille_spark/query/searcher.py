@@ -27,7 +27,8 @@ import numpy as np
 from lucille_spark import BM25_B, BM25_K1
 from lucille_spark.index.reader import SENTINEL, IndexReader, TermCursor
 from lucille_spark.query.parser import (
-    And, MatchAll, Not, Or, Phrase, Term, expand_prefixes, parse, positive_terms,
+    And, MatchAll, Must, Not, Or, Phrase, Term, expand_prefixes, parse,
+    positive_terms,
 )
 
 
@@ -418,6 +419,8 @@ class IndexSearcher:
             return self._phrase_docs(node)
         if isinstance(node, Not):
             return ~self._matching(node.child)
+        if isinstance(node, Must):
+            return self._matching(node.child)
         if isinstance(node, And):
             res: Optional[DocSet] = None
             for c in node.children:
@@ -427,15 +430,25 @@ class IndexSearcher:
                     return DocSet.empty()
             return res if res is not None else DocSet.empty()
         if isinstance(node, Or):
-            # Lucene SHOULD + MUST_NOT semantics (MatchQuery.java:85-92):
-            # NOT children EXCLUDE from the union of the positive clauses
-            # (they are prohibited clauses, not boolean ¬ operands).
-            pos = [c for c in node.children if not isinstance(c, Not)]
+            # Lucene MUST + SHOULD + MUST_NOT semantics
+            # (MatchQuery.java:85-92): when unary-+ MUST clauses are
+            # present, they alone decide matching (each required; the
+            # SHOULD clauses become score-only); otherwise the SHOULD
+            # union matches; NOT children EXCLUDE from either (they are
+            # prohibited clauses, not boolean ¬ operands).
+            musts = [c for c in node.children if isinstance(c, Must)]
+            shoulds = [c for c in node.children
+                       if not isinstance(c, (Must, Not))]
             neg = [c for c in node.children if isinstance(c, Not)]
             res: Optional[DocSet] = None
-            for c in pos:
-                s = self._matching(c)
-                res = s if res is None else res | s
+            if musts:
+                for c in musts:
+                    s = self._matching(c)
+                    res = s if res is None else res & s
+            else:
+                for c in shoulds:
+                    s = self._matching(c)
+                    res = s if res is None else res | s
             if res is None:
                 # pure-negative OR: everything except the negated sets
                 res = DocSet.empty()

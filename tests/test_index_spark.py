@@ -34,6 +34,12 @@ QUERIES = [
     "content:(return OR import) AND content:if",
     'content:"import return"~2',     # transposed planted phrase
     'content:"return import"~1',
+    # r6 unary + (MUST): must clauses decide the match, shoulds score
+    "content:test +content:giraffe",
+    "+content:return content:import",
+    "+content:return +content:import content:if",
+    "content:test +content:giraffe -content:japan",
+    "+content:imp*t content:return",
 ]
 
 

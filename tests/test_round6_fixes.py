@@ -118,3 +118,58 @@ def test_grouped_topk_df_twin_of_searcher(spark, index_dir):
     # most k_groups rows after the limit, like bm25_query_df's
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(group_value" in plan
+
+
+# ------------------------------------------------- classic-parser + (MUST)
+
+
+def test_parser_must_ast():
+    """Unary + parses to Must; +NOT flattens to the prohibition."""
+    from lucille_spark.query.parser import Must, Not, Or, Term, parse
+
+    node = parse("a +b -c")
+    assert isinstance(node, Or)
+    assert node.children == (Term("content", "a"),
+                             Must(Term("content", "b")),
+                             Not(Term("content", "c")))
+    assert parse("+x") == Must(Term("content", "x"))
+    assert parse("+-x") == Not(Term("content", "x"))
+    assert parse("+content:y^2") == Must(Term("content", "y", 2.0))
+
+
+def test_oracle_must_semantics():
+    """a +b c: only b required; a/c score when present. +a +b = a AND b."""
+    from lucille_spark.query.oracle import OracleIndex
+    from lucille_spark.query.parser import parse
+
+    docs = [
+        {"id": "1", "content": "alpha beta"},
+        {"id": "2", "content": "beta gamma"},
+        {"id": "3", "content": "alpha gamma"},
+        {"id": "4", "content": "beta"},
+    ]
+    ix = OracleIndex(docs)
+    ids = lambda q: {ix.doc_ids[d] for d in ix.matching(parse(q))}
+    assert ids("alpha +beta") == {"1", "2", "4"}
+    assert ids("+alpha +beta") == {"1"}
+    assert ids("alpha +beta -gamma") == {"1", "4"}
+    assert ids("+beta gamma") == {"1", "2", "4"}
+    # must doc set == plain-term doc set, but scoring differs: the
+    # should term still contributes on docs that have it
+    s = dict(ix.search("alpha +beta", k=10))
+    assert s["1"] > s["4"]  # doc 1 scores alpha AND beta, doc 4 only beta
+
+
+def test_match_query_must_percolator(spark):
+    """MatchQuery percolates +must should -not with Lucene occurs."""
+    from lucille_spark.pipeline.stages import MatchQuery
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta"), ("d2", "beta gamma"),
+         ("d3", "alpha gamma"), ("d4", "beta")],
+        "id string, text string")
+    st = MatchQuery(queries={"q": "+beta alpha -gamma"},
+                    default_field="text")
+    out = {r.id: list(r.matched_queries)
+           for r in st.apply(docs).collect() if r.matched_queries}
+    assert out == {"d1": ["q"], "d4": ["q"]}
