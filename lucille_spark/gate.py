@@ -584,6 +584,43 @@ def bm25_grouped_top3(spark, sf_dir):
               "doc_id string, score double")
 
 
+_SUGGEST_WORDS = ("vektor", "kay", "tabel", "strem")
+
+_SUGGEST_SQL = "\nUNION ALL\n".join(f"""
+SELECT word, suggestion, rank FROM (
+  WITH {_TOKS_CTE},
+  cand AS (
+    SELECT DISTINCT t AS term, levenshtein(t, '{w}') AS dist
+    FROM toks tt, unnest(tt.toks) AS u(t)
+    WHERE levenshtein(t, '{w}') <= 2
+  )
+  SELECT '{w}' AS word, term AS suggestion,
+         CAST(row_number() OVER (ORDER BY dist, term) AS BIGINT) AS rank
+  FROM cand ORDER BY dist, term LIMIT 5
+)""" for w in _SUGGEST_WORDS)
+
+
+@register("suggest_top5", sql=_SUGGEST_SQL)
+def suggest_top5(spark, sf_dir):
+    """Spell-check suggestions (VERDICT r5 #7 — driver-visible row for
+    the r5 Solr SpellCheckComponent analogue, searcher.suggest): for
+    each misspelled word, the top-5 dictionary terms closest in plain
+    Levenshtein (closest-first, tie term asc; 'tabel'->'table' is
+    distance 2, exercising the documented plain-vs-Damerau deviation),
+    via the bounded fuzzy lexicon expansion (length band pushed into
+    the Arrow scan + bag-distance prefilter — never a full-lexicon DP).
+    The oracle replays each expansion relationally over the corpus
+    vocabulary."""
+    from lucille_spark.query.searcher import IndexSearcher
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    s = IndexSearcher(idx)
+    rows = [(w, t, i + 1) for w in _SUGGEST_WORDS
+            for i, t in enumerate(s.suggest(w, k=5, max_edits=2))]
+    return spark.createDataFrame(
+        rows, "word string, suggestion string, rank long")
+
+
 _GROUPED_DF_SQL = f"""
 WITH {_TOKS_CTE},
 d AS (
@@ -2393,8 +2430,13 @@ GATE_ORDER = [
     #    rerank step of ann_cosine_ivf_top10 / verify step of
     #    ann_near_dup_pairs; green r2-r5 + test_ml_ops)
     "bm25_grouped_df",
-    # -- round-4/5 query-plane features
+    # -- round-4/5 query-plane features + r6 spell-check suggest
+    #    (text_langid rotated out r6 for suggest_top5: the identical
+    #    langid classifier stays driver-visible twice via
+    #    stage_langid_options + stage_langid_scripts; text_langid was
+    #    green r2-r5 and is pytest-covered in test_ml_ops)
     "mlt_top10", "facet_counts", "facet_docvalues", "text_snippets",
+    "suggest_top5",
     # -- percolator boolean plane (r5 adds the multi-term nodes)
     "bool_match_not", "bool_match_phrase", "bool_match_multiterm",
     # -- dedup plane (simhash rotated out r5 for bm25_grouped_top3;
@@ -2409,7 +2451,7 @@ GATE_ORDER = [
     "ann_batch_topk", "ann_near_dup_pairs", "ann_near_dup_lsh",
     # -- text-analysis plane (r5 adds benchmark decontamination)
     "text_token_counts", "text_quality", "text_fingerprint",
-    "text_langid", "text_pack_sequences", "text_weighted_sample",
+    "text_pack_sequences", "text_weighted_sample",
     "text_decontam",
     # -- language-ID stages
     "stage_langid_options", "stage_langid_scripts",
@@ -2429,7 +2471,7 @@ GATE_ORDER = [
     #  windowed_counts keep window ops driver-visible; topk is
     #  pytest-covered in the gate goldens)
     "window_topk_per_user", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_cosine_top10",
+    "ann_cosine_top10", "text_langid",
     "stage_entities", "db_child_join",
     "bm25_or", "bm25_rare_or", "bm25_not", "bm25_boosted",
     "wand_boosted_top10", "wand_conjunctive_top10",
