@@ -13,6 +13,8 @@ round 5 adds the sibling combinators):
     simple := [tag|*] [#id] (.class)* ([attr] | [attr=value] | [attr~=value])* pseudo*
     pseudo := :first-child | :nth-child(An+B|odd|even|k)
             | :first-of-type | :nth-of-type(...)
+            | :last-child | :last-of-type | :only-child | :only-of-type
+            | :nth-last-child(...) | :nth-last-of-type(...)   # subject only
 
 `A > B` matches B whose PARENT matches A (jsoup child combinator);
 `A + B` matches B whose immediately-preceding ELEMENT sibling matches A
@@ -25,11 +27,15 @@ history, so mixed chains like `ul > li + li em` resolve correctly
 (greedy-nearest binding is wrong when several candidates match).
 Structural pseudo-classes decidable at start-tag time are supported via
 the same sibling history (`:first-child`, `:nth-child`,
-`:first-of-type`, `:nth-of-type`). Remaining out of grammar:
-`:last-*`/`:only-*` (need the parent's full child list, unknown until
-the parent closes in a single-pass streaming matcher) and
-non-structural pseudos (`:hover` etc.) — htmlsel.py boundary,
-COVERAGE.md.
+`:first-of-type`, `:nth-of-type`); the FINALIZED ones (`:last-child`,
+`:last-of-type`, `:only-child`, `:only-of-type`, `:nth-last-child`,
+`:nth-last-of-type` — r6) are supported on the SUBJECT (rightmost)
+simple: such candidates match optimistically at start-tag, capture
+normally, and are emitted/discarded when their parent closes and the
+full child list is known (pending-candidate buffer). On a non-subject
+step they would defer the whole chain binding to ancestor/sibling
+futures — out of the single-pass boundary, rejected with a clear
+ValueError, as are non-structural pseudos (`:hover` etc.).
 
 Extraction types per ApplyJSoup.java destinationFields:
     text      — element.text(): subtree text, whitespace-normalized
@@ -72,13 +78,22 @@ def _parse_nth(arg: str) -> Tuple[int, int]:
     raise ValueError(f"unsupported :nth-* argument {arg!r}")
 
 
+# pseudo-classes that need the parent's FULL child list, i.e. are only
+# decidable once the parent CLOSES (r6): the streaming matcher buffers
+# such candidates per parent depth and emits/discards at parent close
+_FINALIZED = {"last-child", "last-of-type", "only-child", "only-of-type",
+              "nth-last-child", "nth-last-of-type"}
+
+
 def _parse_pseudos(raw: str, sel: str) -> List[Tuple[str, int, int]]:
-    """Structural pseudo-classes decidable at START-TAG time in a
-    single-pass streaming matcher: (kind, A, B) with kind 'child'
-    (position among element siblings) or 'type' (position among
-    same-tag element siblings). `:last-child`/`:last-of-type`/`:only-*`
-    need the parent's FULL child list (unknown until the parent closes)
-    and stay out of grammar, as do non-structural pseudos."""
+    """Structural pseudo-classes: (kind, A, B). Kinds 'child'/'type'
+    (position among element / same-tag siblings) are decidable at
+    START-TAG time; the _FINALIZED kinds (`:last-child`,
+    `:last-of-type`, `:only-child`, `:only-of-type`,
+    `:nth-last-child(An+B)`, `:nth-last-of-type(An+B)`) are decided at
+    PARENT-CLOSE time via the pending-candidate buffer (r6; subject
+    position only — parse_selector enforces). Non-structural pseudos
+    (`:hover` etc.) stay out of grammar."""
     out: List[Tuple[str, int, int]] = []
     for m in _PSEUDO.finditer(raw or ""):
         name, arg = m.group(1), m.group(2)
@@ -90,6 +105,10 @@ def _parse_pseudos(raw: str, sel: str) -> List[Tuple[str, int, int]]:
             out.append(("child", *_parse_nth(arg or "")))
         elif name == "nth-of-type":
             out.append(("type", *_parse_nth(arg or "")))
+        elif name in ("nth-last-child", "nth-last-of-type"):
+            out.append((name, *_parse_nth(arg or "")))
+        elif name in _FINALIZED:
+            out.append((name, 0, 0))
         else:
             raise ValueError(
                 f"unsupported pseudo-class ':{name}' in selector {sel!r}")
@@ -171,6 +190,18 @@ def parse_selector(sel: str) -> List[tuple]:
         expect_simple = False
     if comb is not None:
         raise ValueError(f"dangling combinator in selector {sel!r}")
+    # finalized pseudos are resolved by buffering the SUBJECT until its
+    # parent closes; on a non-subject step they would defer the whole
+    # chain binding (ancestors'/siblings' futures) — out of the
+    # single-pass boundary, reported explicitly
+    for s, _ in out[:-1]:
+        fin = [k for k, _, _ in s[4] if k in _FINALIZED]
+        if fin:
+            raise ValueError(
+                f"pseudo-class ':{fin[0]}' is only supported on the "
+                f"subject (rightmost) simple of a selector chain "
+                f"({sel!r}): it needs the parent's full child list, "
+                "which a single-pass matcher only has for the subject")
     return out
 
 
@@ -194,18 +225,24 @@ def _match_simple(el, s, preceding=()) -> bool:
         if op == "~=" and v not in (a.get(k) or "").split():
             return False
     for kind, A, B in pseudos:
+        if kind in _FINALIZED:
+            continue  # optimistic here; decided at parent close (r6)
         # 1-based position among element siblings (text/comment nodes
         # don't count, per CSS), computed from the closed-sibling history
         if kind == "child":
             p = len(preceding) + 1
         else:                                  # -of-type
             p = 1 + sum(1 for pt, _ in preceding if pt == tag)
-        if A == 0:
-            if p != B:
-                return False
-        elif (p - B) % A != 0 or (p - B) // A < 0:
+        if not _nth_ok(p, A, B):
             return False
     return True
+
+
+def _nth_ok(p: int, A: int, B: int) -> bool:
+    """CSS An+B membership for 1-based position p."""
+    if A == 0:
+        return p == B
+    return (p - B) % A == 0 and (p - B) // A >= 0
 
 
 def _chain_match(stack, sibs, chain) -> bool:
@@ -254,6 +291,11 @@ class _Selector(HTMLParser):
         self.containers: list = [[]]
         self.active: list = []     # open matched records
         self.results: dict = {}    # idx -> value (document order)
+        # candidates whose finalized pseudos (:last-*/:only-*/:nth-last-*)
+        # await their parent's close: {idx, checks, tag, sib_pos,
+        # parent_depth, value} — value filled when the candidate itself
+        # closes, verdict when the parent does (r6)
+        self.pending: list = []
         self._n = 0
 
     # --- match helpers ---------------------------------------------------
@@ -273,14 +315,25 @@ class _Selector(HTMLParser):
         if self._matches():
             idx = self._n
             self._n += 1
+            fin = [p for p in self.chain[-1][0][4] if p[0] in _FINALIZED]
+            pend = None
+            if fin:
+                pend = {"idx": idx, "checks": fin, "tag": tag,
+                        "sib_pos": len(self.containers[-2]),
+                        "parent_depth": len(self.stack) - 1}
             if self.typ == "attribute":
                 a = dict(attrs)
                 if self.attr in a:
-                    self.results[idx] = a.get(self.attr) or ""
+                    if pend is not None:
+                        pend["value"] = a.get(self.attr) or ""
+                        self.pending.append(pend)
+                    else:
+                        self.results[idx] = a.get(self.attr) or ""
             else:
                 self.active.append({"depth": len(self.stack), "idx": idx,
                                     "tag": tag, "outer": raw,
-                                    "html": [], "text": []})
+                                    "html": [], "text": [],
+                                    "pend": pend})
         if tag in VOID_TAGS:
             self._close_to(len(self.stack) - 1)
 
@@ -310,8 +363,12 @@ class _Selector(HTMLParser):
                     still.append(rec)
             self.active = still
             closed = self.stack.pop()
-            self.containers.pop()
+            child_list = self.containers.pop()
             self.containers[-1].append(closed)   # now a preceding sibling
+            # the popped element's child list is now FINAL: judge the
+            # buffered finalized-pseudo candidates parented here (r6)
+            if self.pending:
+                self._resolve_pending(depth, child_list)
             if len(self.stack) >= new_len and self.stack:
                 for rec in self.active:
                     rec["html"].append(end_raw)
@@ -323,17 +380,70 @@ class _Selector(HTMLParser):
 
     def _finish(self, rec):
         if self.typ == "text":
-            self.results[rec["idx"]] = " ".join(
-                "".join(rec["text"]).split())
+            value = " ".join("".join(rec["text"]).split())
         elif self.typ == "html":
-            self.results[rec["idx"]] = "".join(rec["html"]).strip()
+            value = "".join(rec["html"]).strip()
         elif self.typ == "outerHtml":
-            self.results[rec["idx"]] = (
-                rec["outer"] + "".join(rec["html"]) + f"</{rec['tag']}>")
+            value = rec["outer"] + "".join(rec["html"]) + f"</{rec['tag']}>"
+        else:
+            return
+        pend = rec.get("pend")
+        if pend is not None:
+            pend["value"] = value      # verdict at parent close
+            self.pending.append(pend)
+        else:
+            self.results[rec["idx"]] = value
+
+    def _resolve_pending(self, parent_depth: int, children: list):
+        """Emit or discard buffered candidates whose parent (at
+        ``parent_depth``) just closed; ``children`` is the parent's
+        complete element-child list, so :last-*/:only-*/:nth-last-* are
+        now decidable. children[sib_pos] IS the candidate (siblings can
+        only close into the parent container in document order)."""
+        still = []
+        for pend in self.pending:
+            if pend["parent_depth"] != parent_depth:
+                still.append(pend)
+                continue
+            if "value" in pend and self._pend_ok(pend, children):
+                self.results[pend["idx"]] = pend["value"]
+        self.pending = still
+
+    @staticmethod
+    def _pend_ok(pend, children) -> bool:
+        pos = pend["sib_pos"]              # 0-based index in children
+        n = len(children)
+        same = [i for i, (t, _) in enumerate(children)
+                if t == pend["tag"]]
+        for kind, A, B in pend["checks"]:
+            if kind == "last-child":
+                if pos != n - 1:
+                    return False
+            elif kind == "only-child":
+                if n != 1:
+                    return False
+            elif kind == "last-of-type":
+                if not same or same[-1] != pos:
+                    return False
+            elif kind == "only-of-type":
+                if same != [pos]:
+                    return False
+            elif kind == "nth-last-child":
+                if not _nth_ok(n - pos, A, B):
+                    return False
+            elif kind == "nth-last-of-type":
+                if pos not in same or not _nth_ok(
+                        len(same) - same.index(pos), A, B):
+                    return False
+        return True
 
     def close(self):
         super().close()
         self._close_to(0)   # finalize anything left open (malformed HTML)
+        # root-level candidates: the document root never "closes" via
+        # _close_to, so judge them against the final root child list
+        if self.pending:
+            self._resolve_pending(0, self.containers[0])
 
 
 def select_html(html: Optional[str], selector: str, typ: str = "text",

@@ -189,9 +189,12 @@ def test_apply_html_validation(spark):
         ApplyHTML(source="html", mapping={
             "o": {"selector": "a", "type": "attribute"}}).apply(df)
     with pytest.raises(ValueError):   # unsupported selector syntax
-        # `+`/`~`/:nth-* became supported in r5; :last-* and
-        # non-structural pseudos remain out (streaming matcher boundary)
-        ApplyHTML(source="html", mapping={"o": "p:last-child"}).apply(df)
+        # `+`/`~`/:nth-* became supported in r5, :last-*/:only-* on the
+        # subject in r6; non-structural pseudos and finalized pseudos on
+        # a NON-subject step remain out (streaming matcher boundary)
+        ApplyHTML(source="html", mapping={"o": "p:hover"}).apply(df)
+    with pytest.raises(ValueError):   # finalized pseudo off-subject
+        ApplyHTML(source="html", mapping={"o": "li:last-child em"}).apply(df)
     with pytest.raises(ValueError):   # dangling child combinator
         ApplyHTML(source="html", mapping={"o": "a >"}).apply(df)
 

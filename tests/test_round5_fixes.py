@@ -327,7 +327,8 @@ def test_html_sibling_with_child_chain():
 def test_html_structural_pseudo_classes():
     """r5 extra: the streaming-decidable pseudo-classes (:first-child,
     :nth-child An+B/odd/even/k, :first-of-type, :nth-of-type) over the
-    same sibling history; :last-*/:only-*/non-structural stay rejected."""
+    same sibling history; non-structural pseudos and (r6) finalized
+    pseudos on a NON-subject step stay rejected."""
     from lucille_spark.pipeline.htmlsel import parse_selector, select_html
 
     html = ('<ul><li>a</li><li>b</li><li>c</li><li>d</li><li>e</li></ul>'
@@ -347,8 +348,8 @@ def test_html_structural_pseudo_classes():
     assert select_html(html, "h2 ~ p:nth-of-type(2)") == ["p2"]
     assert select_html(html, "ul li:nth-child(2)") == ["b"]
     import pytest as _pt
-    for bad in ("p:last-child", "a:hover", "p:nth-child(foo)",
-                "p:only-child"):
+    for bad in ("a:hover", "p:nth-child(foo)",
+                "li:last-child em", "div:only-child > p"):
         with _pt.raises(ValueError):
             parse_selector(bad)
 

@@ -173,3 +173,66 @@ def test_match_query_must_percolator(spark):
     out = {r.id: list(r.matched_queries)
            for r in st.apply(docs).collect() if r.matched_queries}
     assert out == {"d1": ["q"], "d4": ["q"]}
+
+
+# -------------------------------------- ApplyHTML finalized pseudo-classes
+
+
+def test_html_finalized_pseudo_classes():
+    """r6 (VERDICT r5 #5): :last-child / :last-of-type / :only-child /
+    :only-of-type / :nth-last-* — decided when the parent closes via the
+    pending-candidate buffer; subject position only."""
+    from lucille_spark.pipeline.htmlsel import select_html
+
+    html = ('<ul><li>a</li><li>b</li><li>c</li></ul>'
+            '<div><h2>t</h2><p>p1</p><p>p2</p><span>s</span></div>'
+            '<section><p>solo</p></section>')
+    assert select_html(html, "li:last-child") == ["c"]
+    assert select_html(html, "p:last-of-type") == ["p2", "solo"]
+    assert select_html(html, "p:only-child") == ["solo"]
+    assert select_html(html, "p:only-of-type") == ["solo"]
+    assert select_html(html, "span:last-child") == ["s"]
+    assert select_html(html, "li:nth-last-child(2)") == ["b"]
+    assert select_html(html, "li:nth-last-child(odd)") == ["a", "c"]
+    assert select_html(html, "p:nth-last-of-type(1)") == ["p2", "solo"]
+    # h2 is first child but also last-of-type (only h2 in the div)
+    assert select_html(html, "h2:last-of-type") == ["t"]
+    assert select_html(html, "h2:only-of-type") == ["t"]
+    assert select_html(html, "h2:only-child") is None
+
+
+def test_html_finalized_pseudo_composition_and_root():
+    """Finalized pseudos compose with ancestor/sibling chain steps, work
+    at document root, on implicit-close siblings, and for attribute
+    extraction."""
+    from lucille_spark.pipeline.htmlsel import select_html
+
+    html = ('<div id="x"><p>p1</p><p>p2</p></div>'
+            '<div id="y"><p>q1</p><span>s</span></div>')
+    assert select_html(html, "div > p:last-child") == ["p2"]
+    assert select_html(html, "#x p:last-child") == ["p2"]
+    assert select_html(html, "p + p:last-child") == ["p2"]
+    # root-level subjects resolve at document close (no whitespace in
+    # the source between </p><span>, so normalized text is "q1s")
+    assert select_html(html, "div:last-child") == ["q1s"]
+    assert select_html(html, "div:first-child + div:last-of-type",
+                       typ="attribute", attribute="id") == ["y"]
+    # implicit-close <li> siblings (HTML5 omitted end tags)
+    assert select_html("<ul><li>a<li>b<li>c</ul>", "li:last-child") == ["c"]
+    assert select_html("<ul><li>a<li>b<li>c</ul>", "li:only-child") is None
+    assert select_html("<ul><li>only</ul>", "li:only-child") == ["only"]
+    # nested same-tag: each ul's own last li
+    nested = "<ul><li>a<li>b<ul><li>x<li>y</ul></ul>"
+    # the nested ul sits INSIDE li "b" (ul does not implicitly close
+    # li), so the inner list's last li is reached via li > ul
+    assert select_html(nested, "li > ul > li:last-child") == ["y"]
+    assert select_html(nested, "ul ul li:last-child") == ["y"]
+    # the outer ul's last element child is li "b" (no whitespace in the
+    # source between "b" and <ul>, so subtree text normalizes to "bxy");
+    # document order = start-tag order, so b precedes the nested y
+    assert select_html(nested, "li:last-child") == ["bxy", "y"]
+    # html extraction type with finalized pseudo
+    assert select_html(html, "div:nth-last-child(2)",
+                       typ="html") == ["<p>p1</p><p>p2</p>"]
+    # unclosed tags finalize at close()
+    assert select_html("<div><p>u1<p>u2", "p:last-child") == ["u2"]
