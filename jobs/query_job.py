@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--suggest", metavar="WORD")
     args = ap.parse_args()
 
+    if args.facet and not args.query:
+        ap.error("--facet FIELD requires --query (the facet is computed "
+                 "over that query's match set)")
+    if not (args.query or args.mlt or args.suggest or args.query_file):
+        ap.error("one of --query / --query-file / --mlt / --suggest "
+                 "is required")
+
     if args.query or args.mlt or args.suggest:
         from lucille_spark.query.searcher import IndexSearcher
 

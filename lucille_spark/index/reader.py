@@ -431,12 +431,14 @@ class IndexReader:
     def doc_values(self, field: str,
                    ords: np.ndarray) -> Optional[np.ndarray]:
         """Doc-values analogue (Lucene SortedDocValues): the stored
-        single-valued field column for the given SORTED doc ords, aligned
-        to them. doc_stats is written in doc_ord order, so the range
-        filter prunes to the row groups covering the match span — one
-        projected sequential read of two columns, never a per-term
-        posting decode. Returns None when the field isn't stored (the
-        caller falls back to postings)."""
+        single-valued field column for the given SORTED doc ords,
+        POSITIONALLY aligned to them — always ``ords.size`` entries,
+        with None at positions whose ord has no doc_stats row, so
+        callers may zip(ords, vals) safely. doc_stats is written in
+        doc_ord order, so the range filter prunes to the row groups
+        covering the match span — one projected sequential read of two
+        columns, never a per-term posting decode. Returns None when the
+        field isn't stored (the caller falls back to postings)."""
         if ords.size == 0:
             return np.empty(0, dtype=object)
         if field not in self._doc_stats.schema.names:
@@ -447,13 +449,17 @@ class IndexReader:
             & (ds.field("doc_ord") <= hi),
             columns=["doc_ord", field]))
         do = np.asarray(t["doc_ord"].to_pylist(), dtype=np.int64)
+        out = np.full(ords.size, None, dtype=object)
+        if do.size == 0:
+            return out
         order = np.argsort(do, kind="stable")
         do = do[order]
         vals = np.asarray(t[field].to_pylist(), dtype=object)[order]
         pos = np.searchsorted(do, ords)
-        pos_c = np.minimum(pos, max(do.size - 1, 0))
+        pos_c = np.minimum(pos, do.size - 1)
         ok = (pos < do.size) & (do[pos_c] == ords)
-        return vals[pos_c[ok]]
+        out[ok] = vals[pos_c[ok]]
+        return out
 
     def doc_ids_for_ords(self, ords: List[int]) -> Dict[int, str]:
         if not ords:

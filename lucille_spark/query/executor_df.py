@@ -303,7 +303,12 @@ def snippets_df(df: DataFrame, id_col: str, text_col: str,
     by the terms' list order via the struct-min. Occurrence is a
     substring match on the lowercased text (so 'merge' also highlights
     'merges'); token-exact filtering belongs to the match query that
-    produced the doc list."""
+    produced the doc list. Known limitation (shared with
+    :func:`snippets_multi_df` and the DuckDB gate oracle, which replays
+    the same lower()-then-scan): the rare Unicode chars whose
+    lowercasing changes string LENGTH (e.g. 'İ' -> 'i̇', 'ẞ' -> 'ß' is
+    fine but 'ﬀ' -> 'ff' is not) shift offsets computed on lower(text)
+    relative to the original text for everything after them."""
     low = F.lower(F.col(text_col))
     cands = [F.struct(
         F.locate(t, low).alias("pos"), F.lit(i).alias("ord"),
@@ -337,7 +342,10 @@ def snippets_multi_df(df: DataFrame, id_col: str, text_col: str,
     (position, term list order) — the same deterministic tie-break as
     :func:`snippets_df`, which remains the N=1 fast path. The DuckDB gate
     oracle replays the identical scan with string_split + a window prefix
-    sum, so every occurrence window is SQL-reproducible."""
+    sum, so every occurrence window is SQL-reproducible. Shares
+    :func:`snippets_df`'s documented limitation: offsets come from
+    lower(text), so length-changing Unicode lowercasings (e.g. 'İ',
+    ligatures) shift positions for text after them."""
     import re as _re
 
     low = F.lower(F.col(text_col))

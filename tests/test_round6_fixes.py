@@ -236,3 +236,59 @@ def test_html_finalized_pseudo_composition_and_root():
                        typ="html") == ["<p>p1</p><p>p2</p>"]
     # unclosed tags finalize at close()
     assert select_html("<div><p>u1<p>u2", "p:last-child") == ["u2"]
+
+
+# --------------------------------------------- ADVICE r5 hardening items
+
+
+def test_doc_values_aligned_with_missing_ords(index_dir):
+    """ADVICE r5: doc_values returns a None-filled array POSITIONALLY
+    aligned to the input ords — missing ords must not shift subsequent
+    values (search_grouped zips positionally) nor raise on an
+    all-out-of-range request."""
+    import numpy as np
+
+    from lucille_spark.index.reader import IndexReader
+
+    rd = IndexReader(index_dir)
+    span = rd.ord_span()          # max doc_ord + 1
+    lo, hi = 0, span - 1
+    real = np.array([lo, lo + 1, lo + 2], dtype=np.int64)
+    aligned = rd.doc_values("lang", real)
+    assert aligned is not None and aligned.size == 3
+    assert all(v is not None for v in aligned)
+
+    # a hole in the middle: the phantom ord yields None AT ITS POSITION,
+    # values after it stay aligned (hi + 10 doesn't exist)
+    with_hole = np.array([lo, hi + 10], dtype=np.int64)
+    vals = rd.doc_values("lang", with_hole)
+    assert vals.size == 2
+    assert vals[0] == aligned[0] and vals[1] is None
+
+    # every requested ord out of range: empty scan, aligned None fill
+    gone = np.array([hi + 50, hi + 60], dtype=np.int64)
+    vals = rd.doc_values("lang", gone)
+    assert vals.size == 2 and vals[0] is None and vals[1] is None
+
+    # unstored field still signals fallback with None
+    assert rd.doc_values("no_such_field", real) is None
+
+
+def test_query_job_arg_validation():
+    """ADVICE r5: --facet without --query (and no mode at all) must be a
+    clear usage error, not a TypeError from open(None)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/query_job.py", "--index", "/tmp/nope",
+         "--facet", "lang"],
+        capture_output=True, text=True, cwd=".")
+    assert r.returncode == 2
+    assert "--facet FIELD requires --query" in r.stderr
+
+    r = subprocess.run(
+        [sys.executable, "jobs/query_job.py", "--index", "/tmp/nope"],
+        capture_output=True, text=True, cwd=".")
+    assert r.returncode == 2
+    assert "one of --query / --query-file" in r.stderr
