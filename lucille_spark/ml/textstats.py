@@ -172,6 +172,25 @@ LANG_PROFILES: Dict[str, Sequence[str]] = {
     "hr": ("je", "i", "u", "se", "da", "su", "kao"),
     "ca": ("el", "la", "de", "que", "i", "per", "amb"),
     "et": ("ja", "on", "ei", "et", "oli", "ta", "see"),
+    # round 6 (VERDICT r5 #6): the next Latin-script batch — ms/sk/sl/
+    # lt/lv/sq/gl/af (pl and id landed in earlier rounds). Same
+    # ASCII-only constraint. Colliding-alphabet notes: id-vs-ms share
+    # most function words (daripada/ialah/boleh are the ms-only ASCII
+    # discriminators; ties keep falling to 'id', lex-smallest, like
+    # da-vs-no); sk-vs-cs split on sa/som/ako vs se/jsem/jako;
+    # gl-vs-pt on unha/non vs uma/nao; af-vs-nl on die/is/nie vs
+    # de/een/niet. Vietnamese is NOT a stopword profile: nearly all its
+    # function words carry diacritics the [a-z0-9_]+ analyzer strips,
+    # so vi rides the SCRIPT_RANGES marker route below instead.
+    "ms": ("yang", "dan", "di", "dengan", "untuk", "daripada",
+           "ialah", "boleh"),
+    "sk": ("je", "sa", "na", "to", "ako", "ale", "som", "aj"),
+    "sl": ("je", "in", "se", "na", "da", "ki", "pa"),
+    "lt": ("ir", "yra", "kad", "tai", "bet", "kaip"),
+    "lv": ("un", "ir", "ka", "par", "bet", "vai", "tas"),
+    "sq": ("dhe", "nga", "ka", "si", "jo", "po", "me"),
+    "gl": ("o", "de", "que", "e", "non", "unha", "os"),
+    "af": ("die", "en", "van", "het", "is", "nie", "wat", "om"),
 }
 
 
@@ -199,6 +218,16 @@ SCRIPT_RANGES: Dict[str, str] = {
     "th": "[฀-๿]",            # Thai
     "hy": "[԰-֏]",            # Armenian
     "ka": "[Ⴀ-ჿ]",            # Georgian
+    # round 6: Vietnamese via its UNIQUE precomposed vowels (Latin
+    # Extended Additional U+1EA0-U+1EF9: double-diacritic a/e/o/u/y
+    # plus hook-above) and đ/ơ/ư — these occur in essentially no other
+    # living orthography, so any hit identifies vi even though the
+    # language is Latin-script (its diacritic-free function words are
+    # unreachable by the ASCII analyzer; cybozu langdetect likewise
+    # leans on the diacritics). "chars" counts only the marked chars,
+    # so vi confidence reads lower than a full-script language's —
+    # documented, matches the marker-rule semantics.
+    "vi": "[ẠạẢảẤấẦầẨẩẪẫẬậẮắẰằẲẳẴẵẶặẸẹẺẻẼẽẾếỀềỂểỄễỆệỈỉỊịỌọỎỏỐốỒồỔổỖỗỘộỚớỜờỞởỠỡỢợỤụỦủỨứỪừỬửỮữỰựỲỳỴỵỶỷỸỹĐđƠơƯư]",
 }
 
 # Marker-disambiguated languages over a shared base script (r5), same

@@ -452,7 +452,7 @@ def test_condition_values_path(spark, tmp_path):
 def test_langid_ten_languages(spark):
     from lucille_spark.ml.textstats import LANG_PROFILES, language_scores
 
-    assert len(LANG_PROFILES) == 20   # r2: 10; r5 adds 10 more Latin-script
+    assert len(LANG_PROFILES) == 28   # r2: 10; r5 +10; r6 +8 Latin-script
     df = spark.createDataFrame(
         [("nl", "de het een en van niet fiets"),
          ("it", "il di che e non per strada"),
