@@ -140,11 +140,13 @@ def main():
             for line in sys.stdin:
                 cmd = line.strip()
                 if cmd.startswith("WARM "):
-                    # untimed warmup build at a caller-chosen size (r5:
-                    # bench.py warms both workers CONCURRENTLY at ~2/3
-                    # full size — enough to trigger the full-size heap
-                    # growth the 10k warmup misses, at half the wall
-                    # clock of the old timed full-size warmup epoch)
+                    # untimed warmup build at a caller-chosen size (r6:
+                    # bench.py warms both workers CONCURRENTLY at FULL
+                    # size — r6 measured a 2/3-size warmup leaving the
+                    # first full-size 8-core build 46% over steady, so
+                    # only the full size truly absorbs the heap growth;
+                    # concurrency keeps the wall cost to one low-side
+                    # build since the warmup is untimed anyway)
                     n_warm = int(cmd.split()[1])
                     wdir2 = tempfile.mkdtemp(prefix=f"lucille_w2_{cpus}_")
                     try:
