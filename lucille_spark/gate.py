@@ -621,6 +621,45 @@ def suggest_top5(spark, sf_dir):
         rows, "word string, suggestion string, rank long")
 
 
+# the DF-twin batch adds an exactly-spelled word: the exact-hit rule
+# (return only the word itself) must survive the relational replay
+_SUGGEST_BATCH_WORDS = _SUGGEST_WORDS + ("merge",)
+
+_SUGGEST_BATCH_SQL = "\nUNION ALL\n".join(f"""
+SELECT word, suggestion, rank FROM (
+  WITH {_TOKS_CTE},
+  cand AS (
+    SELECT DISTINCT t AS term, levenshtein(t, '{w}') AS dist
+    FROM toks tt, unnest(tt.toks) AS u(t)
+    WHERE levenshtein(t, '{w}') <= 2
+  ),
+  ranked AS (
+    SELECT '{w}' AS word, term AS suggestion, dist,
+           CAST(row_number() OVER (ORDER BY dist, term) AS BIGINT) AS rank,
+           min(dist) OVER () AS best
+    FROM cand
+  )
+  SELECT word, suggestion, rank FROM ranked
+  WHERE (best = 0 AND dist = 0) OR (best > 0 AND rank <= 5)
+)""" for w in _SUGGEST_BATCH_WORDS)
+
+
+@register("suggest_batch_df", sql=_SUGGEST_BATCH_SQL)
+def suggest_batch_df_gate(spark, sf_dir):
+    """Distributed spell-check (r6): executor_df.suggest_batch_df — the
+    scale twin of searcher.suggest for a word BATCH against the index
+    lexicon. Lexicon scanned once (column-pruned), broadcast word batch
+    joined under the length band, threshold levenshtein on survivors,
+    one narrow window shuffle on the word key; 'merge' exercises the
+    exact-hit rule (only the word itself comes back). Full relational
+    replay in the oracle, including the exact-hit CASE."""
+    from lucille_spark.query.executor_df import suggest_batch_df
+
+    idx = _ensure_gate_index(spark, sf_dir)
+    return suggest_batch_df(spark, idx, list(_SUGGEST_BATCH_WORDS),
+                            k=5, max_edits=2)
+
+
 _GROUPED_DF_SQL = f"""
 WITH {_TOKS_CTE},
 d AS (
@@ -2422,7 +2461,11 @@ GATE_ORDER = [
     "bm25_single", "bm25_and", "bm25_phrase", "bm25_phrase_sloppy",
     "bm25_fielded",
     # -- WAND canaries + every term-expansion flavor + r5 grouping
-    "wand_index_top10", "wand_prefix_top10", "wand_fuzzy_top10",
+    # (wand_prefix_top10 rotated out r6 for suggest_batch_df: the
+    #  prefix route is the literal-prefix fast path INSIDE the in-window
+    #  wand_wildcard_top10's expansion and stays pytest-covered by the
+    #  rank-identity suite; green r4-r5)
+    "wand_index_top10", "wand_fuzzy_top10",
     "wand_range_top10", "wand_wildcard_top10", "bm25_grouped_top3",
     # -- r6: corpus-side grouping twin (ann_cosine_top10 rotated out:
     #    its brute-force cosine arithmetic stays driver-visible inside
@@ -2436,7 +2479,7 @@ GATE_ORDER = [
     #    stage_langid_options + stage_langid_scripts; text_langid was
     #    green r2-r5 and is pytest-covered in test_ml_ops)
     "mlt_top10", "facet_counts", "facet_docvalues", "text_snippets",
-    "suggest_top5",
+    "suggest_top5", "suggest_batch_df",
     # -- percolator boolean plane (r5 adds the multi-term nodes)
     "bool_match_not", "bool_match_phrase", "bool_match_multiterm",
     # -- dedup plane (simhash rotated out r5 for bm25_grouped_top3;
@@ -2476,7 +2519,7 @@ GATE_ORDER = [
     "bm25_or", "bm25_rare_or", "bm25_not", "bm25_boosted",
     "wand_boosted_top10", "wand_conjunctive_top10",
     "stage_field_ops", "stage_regex_ops", "stage_parse_filepath",
-    "stage_date_ops", "stage_chunk_overlap",
+    "stage_date_ops", "stage_chunk_overlap", "wand_prefix_top10",
 ]
 
 _missing = [n for n in GATE_ORDER if n not in QUERIES]

@@ -233,6 +233,55 @@ def grouped_topk_df(
                     F.round("score", score_decimals).alias("score")))
 
 
+def suggest_batch_df(spark: SparkSession, index_dir: str,
+                     words: Sequence[str], k: int = 5,
+                     max_edits: int = 2,
+                     field: str = "content") -> DataFrame:
+    """Distributed spell-check — the scale twin of
+    ``IndexSearcher.suggest`` (Solr SpellCheckComponent, cf. the
+    reference's Solr delegation) for a BATCH of words against a large
+    lexicon: per word, the ``k`` dictionary terms closest in plain
+    Levenshtein (closest-first, tie term asc); an exact dictionary hit
+    returns only the word itself, rank 1 — identical semantics to the
+    driver route, asserted by a twin-equality test.
+
+    Plan shape for a 100 TB-corpus lexicon (millions of terms) x a
+    query-log batch: the lexicon parquet is scanned ONCE, column-pruned
+    to ``term``; the word batch is broadcast and joined under the
+    LENGTH-BAND condition (|len(term) - len(word)| <= max_edits), so the
+    quadratic edit-distance DP runs only on band survivors — and via
+    ``levenshtein(..., threshold)``, which early-exits past the bound.
+    One narrow shuffle on ``word`` for the per-word rank window (words
+    are the partition key: thousands of tiny groups, never skewed).
+    Output: (word, suggestion, rank)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    lex = (spark.read.parquet(os.path.join(index_dir, "lexicon"))
+           .filter(F.col("field") == field).select("term"))
+    words_df = spark.createDataFrame([(w,) for w in words], "word string")
+    band = F.abs(F.length("term") - F.length("word")) <= max_edits
+    # threshold form returns -1 past the bound (early-exit DP)
+    dist = F.levenshtein("word", "term", max_edits)
+    cand = (lex.join(F.broadcast(words_df), band)
+            .select("word", "term", dist.alias("dist"))
+            .filter(F.col("dist") >= 0))
+    wr = Window.partitionBy("word").orderBy(
+        F.col("dist").asc(), F.col("term").asc())
+    # per-word best distance over the SAME (partition, sort) spec as the
+    # rank window — full frame, so both Window ops share one Exchange +
+    # one Sort instead of shuffling twice
+    w_all = wr.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (cand
+            .withColumn("best", F.min("dist").over(w_all))
+            .withColumn("rank", F.row_number().over(wr).cast("long"))
+            .filter(((F.col("best") == 0) & (F.col("dist") == 0))
+                    | ((F.col("best") > 0) & (F.col("rank") <= k)))
+            .select("word", F.col("term").alias("suggestion"), "rank"))
+
+
 def sloppy_phrase_pred(terms: Sequence[str], slop: int,
                        toks_col="toks") -> Column:
     """True when the sloppy phrase matches the token-array column: exist

@@ -360,3 +360,37 @@ def test_vietnamese_marker_route(spark):
           for r in out.collect()}
     assert gs[0][0] == "vi" and gs[1][0] == "vi"
     assert 0.0 < gs[0][1] <= 1.0
+
+
+# --------------------------------------- distributed spell-check twin
+
+
+def test_suggest_batch_df_twin_of_searcher(spark, index_dir):
+    """suggest_batch_df must reproduce IndexSearcher.suggest exactly per
+    word (same candidates, same (dist, term) order, same exact-hit rule)
+    while staying a single-scan broadcast-join plan."""
+    from lucille_spark.query.executor_df import suggest_batch_df
+    from lucille_spark.query.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir)
+    lex_sample = list(s.reader.terms_in_range("content", None, None,
+                                              limit=3))
+    words = ["xqzzy", lex_sample[0],                  # no-hit + exact
+             lex_sample[1][:-1] + "x",                # 1-edit neighbour
+             lex_sample[2] + "zz"]                    # 2-edit neighbour
+    df = suggest_batch_df(spark, index_dir, words, k=5, max_edits=2)
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["word"], []).append((r["rank"], r["suggestion"]))
+    for w in words:
+        want = s.suggest(w, k=5, max_edits=2)
+        have = [t for _, t in sorted(got.get(w, []))]
+        assert have == want, (w, have, want)
+
+    # AQE's toString appends the pre-adaptive "Initial Plan" — audit the
+    # final plan section only
+    plan = (df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one word window
+    assert plan.count("Window") == 1   # best+rank share one Window op
