@@ -1500,6 +1500,60 @@ def events_windowed_counts(spark, sf_dir):
                       "n_events", "total_value")
 
 
+@register("facet_range", sql="""
+WITH spine AS (
+  SELECT CAST(0 + i * 10 AS DOUBLE) AS bucket_start
+  FROM generate_series(0, 9) t(i)
+),
+counts AS (
+  SELECT floor((value - 0) / 10) * 10 + 0 AS bucket_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE value >= 0 AND value < 100
+  GROUP BY 1
+)
+SELECT s.bucket_start, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN counts c USING (bucket_start)
+ORDER BY s.bucket_start
+""")
+def facet_range(spark, sf_dir):
+    """Solr range faceting (facet.range, r6 — a backend feature of the
+    reference's Solr delegation, like facets/grouping/suggest): numeric
+    histogram over events.value, buckets [0,10)..[90,100), zero buckets
+    emitted (facet.mincount=0). One corpus scan, one bounded-key groupBy
+    shuffle, broadcast bucket spine — executor_df.facet_range_df."""
+    from lucille_spark.query.executor_df import facet_range_df
+
+    return facet_range_df(_events(spark, sf_dir), "value",
+                          start=0.0, end=100.0, gap=10.0)
+
+
+@register("stats_field", sql="""
+SELECT event_type AS facet_value,
+       CAST(count(value) AS BIGINT) AS count,
+       CAST(count(*) - count(value) AS BIGINT) AS missing,
+       ROUND(min(value), 4) AS min,
+       ROUND(max(value), 4) AS max,
+       ROUND(sum(value), 3) AS sum,
+       ROUND(sum(value) / count(value), 5) AS mean,
+       ROUND(stddev_samp(value), 5) AS stddev
+FROM events GROUP BY event_type
+""")
+def stats_field(spark, sf_dir):
+    """Solr StatsComponent (stats.field faceted by event_type, r6):
+    count/missing/min/max/sum/mean/sample-stddev per group in ONE
+    map-side-combined aggregate — executor_df.stats_field_df. Floats
+    rounded for the cross-engine hash (sum order and Welford-vs-naive
+    stddev differ in the last ulps between engines)."""
+    from lucille_spark.query.executor_df import stats_field_df
+
+    out = stats_field_df(_events(spark, sf_dir), "value", "event_type")
+    return out.select(
+        "facet_value", "count", "missing",
+        F.round("min", 4).alias("min"), F.round("max", 4).alias("max"),
+        F.round("sum", 3).alias("sum"), F.round("mean", 5).alias("mean"),
+        F.round("stddev", 5).alias("stddev"))
+
+
 @register("events_sessionize", sql="""
 WITH o AS (
   SELECT user_id, ts,
@@ -2485,10 +2539,16 @@ GATE_ORDER = [
     # -- dedup plane (simhash rotated out r5 for bm25_grouped_top3;
     #    ngram_jaccard rotated out r6 for dedup_near_clusters — green
     #    r2-r5 and its exact-Jaccard arithmetic stays driver-visible
-    #    inside dedup_e2e_verified/dedup_near_clusters, which subsume it)
-    "dedup_exact", "dedup_minhash_signatures",
-    "dedup_lsh_candidate_pairs", "dedup_e2e_verified",
+    #    inside dedup_e2e_verified/dedup_near_clusters, which subsume it;
+    #    minhash_signatures + lsh_candidate_pairs rotated out late-r6 for
+    #    facet_range + stats_field: _dedup_e2e_sql replays the ENTIRE
+    #    MinHash->LSH->verify chain relationally and _dedup_clusters_sql
+    #    chains the closure on top, so both intermediates' arithmetic
+    #    stays driver-verified twice; green r2-r6, pytest test_ml_ops)
+    "dedup_exact", "dedup_e2e_verified",
     "dedup_near_clusters",
+    # -- r6: Solr-delegation analytics surface (range facet + stats)
+    "facet_range", "stats_field",
     # -- ANN / embedding plane (near-dup entries never driver-verified)
     "ann_cosine_ivf_top10", "ann_cosine_lsh_top10",
     "ann_batch_topk", "ann_near_dup_pairs", "ann_near_dup_lsh",
@@ -2520,6 +2580,7 @@ GATE_ORDER = [
     "wand_boosted_top10", "wand_conjunctive_top10",
     "stage_field_ops", "stage_regex_ops", "stage_parse_filepath",
     "stage_date_ops", "stage_chunk_overlap", "wand_prefix_top10",
+    "dedup_minhash_signatures", "dedup_lsh_candidate_pairs",
 ]
 
 _missing = [n for n in GATE_ORDER if n not in QUERIES]

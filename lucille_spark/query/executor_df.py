@@ -342,6 +342,67 @@ def facet_counts_df(df: DataFrame, text_col: str, facet_col: str,
             .limit(size))
 
 
+def facet_range_df(df: DataFrame, value_col: str, start: float,
+                   end: float, gap: float,
+                   mincount: int = 0) -> DataFrame:
+    """Solr range faceting (``facet.range`` on a numeric field, cf. the
+    reference's Solr delegation): (bucket_start, n) for the buckets
+    ``[start + i*gap, start + (i+1)*gap)`` covering ``[start, end)``
+    (the last bucket runs to a full gap past ``end`` when the range is
+    not a multiple — Solr's ``hardend=false`` default). Zero-count
+    buckets are emitted unless ``mincount`` prunes them, like Solr's
+    ``facet.mincount``. Values outside the range are ignored (Solr's
+    before/after counts are a separate surface).
+
+    Plan: one narrow filter + one groupBy shuffle on the bucket key
+    (numeric, bounded cardinality = n_buckets, never skewed), then the
+    tiny computed bucket spine joins the counts broadcast — the corpus
+    is scanned exactly once and nothing corpus-sized shuffles wide."""
+    spark = df.sparkSession
+    n_buckets = int(math.ceil((end - start) / gap))
+    spine = spark.range(n_buckets).select(
+        (F.lit(float(start))
+         + F.col("id").cast("double") * F.lit(float(gap)))
+        .alias("bucket_start"))
+    bucket = (F.floor((F.col(value_col) - F.lit(float(start)))
+                      / F.lit(float(gap))).cast("double")
+              * F.lit(float(gap)) + F.lit(float(start)))
+    counts = (df.filter((F.col(value_col) >= start)
+                        & (F.col(value_col)
+                           < start + n_buckets * gap))
+              .groupBy(bucket.alias("bucket_start"))
+              .agg(F.count("*").cast("long").alias("n")))
+    return (spine.join(F.broadcast(counts), "bucket_start", "left")
+            .select("bucket_start",
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n"))
+            .filter(F.col("n") >= mincount)
+            .orderBy("bucket_start"))
+
+
+def stats_field_df(df: DataFrame, value_col: str,
+                   facet_col: Optional[str] = None) -> DataFrame:
+    """Solr StatsComponent (``stats.field``, optionally
+    ``stats.facet``-style per-group stats, cf. the reference's Solr
+    delegation): count (non-null), missing, min, max, sum, mean,
+    stddev (sample, like Solr). One map-side-combined aggregate —
+    global, or grouped on the facet key. Callers round the float
+    columns for cross-engine comparison."""
+    aggs = [
+        F.count(value_col).cast("long").alias("count"),
+        (F.count("*") - F.count(value_col)).cast("long").alias("missing"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.sum(value_col).alias("sum"),
+        (F.sum(value_col) / F.count(value_col)).alias("mean"),
+        F.stddev_samp(value_col).alias("stddev"),
+    ]
+    if facet_col is None:
+        return df.agg(*aggs)
+    return (df.groupBy(F.col(facet_col).alias("facet_value"))
+            .agg(*aggs))
+
+
 def snippets_df(df: DataFrame, id_col: str, text_col: str,
                 terms: Sequence[str], window: int = 30) -> DataFrame:
     """Search-result snippets (Solr highlighting's fragment step):

@@ -394,3 +394,54 @@ def test_suggest_batch_df_twin_of_searcher(spark, index_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # one word window
     assert plan.count("Window") == 1   # best+rank share one Window op
+
+
+# ------------------------------------ Solr-delegation analytics surface
+
+
+def test_facet_range_df(spark):
+    """Solr facet.range semantics: fixed-gap buckets, zero buckets
+    emitted, out-of-range values ignored, hardend=false last bucket,
+    mincount pruning."""
+    from lucille_spark.query.executor_df import facet_range_df
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.5,), (4.99,), (5.0,), (12.0,), (-3.0,), (None,),
+         (14.99,)],
+        "v double")
+    got = [(r.bucket_start, r.n)
+           for r in facet_range_df(df, "v", 0.0, 15.0, 5.0).collect()]
+    assert got == [(0.0, 3), (5.0, 1), (10.0, 2)]
+    # range not a multiple of gap: last bucket covers a full gap past
+    # end (hardend=false), so 14.99 still lands in [10, 15)
+    got = [(r.bucket_start, r.n)
+           for r in facet_range_df(df, "v", 0.0, 12.0, 5.0).collect()]
+    assert got == [(0.0, 3), (5.0, 1), (10.0, 2)]
+    got = [(r.bucket_start, r.n)
+           for r in facet_range_df(df, "v", 0.0, 15.0, 5.0,
+                                   mincount=2).collect()]
+    assert got == [(0.0, 3), (10.0, 2)]
+
+
+def test_stats_field_df(spark):
+    """Solr StatsComponent: count excludes nulls, missing counts them,
+    sample stddev, grouped and global modes."""
+    import math as m
+
+    from lucille_spark.query.executor_df import stats_field_df
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0)],
+        "g string, v double")
+    rows = {r.facet_value: r
+            for r in stats_field_df(df, "v", "g").collect()}
+    a = rows["a"]
+    assert (a["count"], a["missing"], a["min"], a["max"], a["sum"],
+            a["mean"]) == (2, 1, 1.0, 3.0, 4.0, 2.0)
+    assert abs(a["stddev"] - m.sqrt(2.0)) < 1e-12   # sample stddev
+    b = rows["b"]
+    assert (b["count"], b["missing"]) == (1, 0)
+    assert b["stddev"] is None                       # n=1 -> undefined
+
+    g = stats_field_df(df, "v").collect()[0]
+    assert (g["count"], g["missing"], g["sum"]) == (3, 1, 14.0)
