@@ -68,6 +68,12 @@ SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "4"))
 #     proportional collapse the ratio test alone would pass).
 QUAL_RATIO = float(os.environ.get("BENCH_QUAL_RATIO", "1.3"))
 QUAL_FLOOR = float(os.environ.get("BENCH_QUAL_FLOOR_GBPS", "4.0"))
+# low-side floor (late r6): a 2-proc collapse INFLATES measured ratios
+# (the low build slows), and the hi/lo ratio test passes trivially when
+# lo collapses (observed: probe {2: 0.5, 8: 19.3} passed while the host
+# was mid-collapse). Clean 2-proc readings are 3.9-8.8 GB/s on bad days
+# and ~10 on good ones; collapse readings are 0.5-0.8.
+QUAL_LO_FLOOR = float(os.environ.get("BENCH_QUAL_LO_FLOOR_GBPS", "1.5"))
 MAX_EPOCHS = int(os.environ.get("BENCH_SCALE_MAX_EPOCHS", "6"))
 # self-consistency tolerance: each qualified epoch's per-side build time
 # must be within this factor of the run's minimum for that side (catches
@@ -370,7 +376,8 @@ def main():
         def _clean(p):
             # None (probe failed) cannot disqualify: no evidence
             return p is None or (p[hi] >= QUAL_RATIO * max(p[lo], 1e-9)
-                                 and p[hi] >= QUAL_FLOOR)
+                                 and p[hi] >= QUAL_FLOOR
+                                 and p[lo] >= QUAL_LO_FLOOR)
 
         epochs = []  # {low, high, ratio, pre, post, qualified}
         est_epoch = 200.0  # refined from the first measured epoch
@@ -461,7 +468,8 @@ def main():
                        "warmup build; each epoch bracketed by best-of-2 "
                        "STREAM probes at both levels, qualified iff "
                        f"hi-bw >= {QUAL_RATIO}x lo-bw AND hi-bw >= "
-                       f"{QUAL_FLOOR} GB/s on both brackets AND both "
+                       f"{QUAL_FLOOR} GB/s AND lo-bw >= {QUAL_LO_FLOOR} "
+                       "GB/s on both brackets AND both "
                        f"sides within {SELF_TOL}x of the run's per-side "
                        "minimum (interior-collapse guard); efficiency = "
                        "median of QUALIFIED per-epoch ratios / "
@@ -479,6 +487,7 @@ def main():
                 e.get("self_consistent") for e in epochs],
             "n_qualified": len(q_eps),
             "qual_ratio": QUAL_RATIO,
+            "qual_lo_floor_gbps": QUAL_LO_FLOOR,
             "self_tol": SELF_TOL,
             "qual_floor_gbps": QUAL_FLOOR,
             "probe_secs": probe_secs,
