@@ -43,8 +43,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # warmup build in each JVM): the north rule's evidence must be MEDIANS of
 # >=3 runs because this shared-host VM swings +-20% run to run (BENCH.md);
 # the per-epoch ratio median additionally cancels slow-phase drift (r4),
-# and 42k keeps each build long enough (~20s at 8 cores) that per-job
-# fixed cost stays a small fraction of the timing.
+# and 42k keeps each build long enough (~13-16s at 8 cores post the r6
+# encode-recompute fix) that per-job fixed cost stays a small fraction
+# of the timing; a late-r6 sweep showed 84k builds superlinear on both
+# sides (spill), so 42k stays the size.
 SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "42000"))
 # 650 (r6; was 545 in r5): the full-size untimed warmup adds ~25 s over
 # a 2/3-size one and each epoch now carries a ~10-23 s bracketing probe,
