@@ -2172,6 +2172,56 @@ def stage_jsonata(spark, sf_dir):
     return st.apply(docs).select("doc_id", "out")
 
 
+# the `code` analyzer's full token-stream contract over identifier
+# styles the synthetic corpus lacks (camelCase / snake_case / ALLCAPS
+# runs / trailing digits / dunder). Expected rows are HAND-DERIVED from
+# the documented contract (analyzers.py:61-77 — base standard tokens
+# first, then sub-tokens for identifiers splitting into >1 part, in raw
+# order), not generated from the implementation.
+_CODE_TOK_FIXTURES = [
+    (1, "class DataLoader: def load_batch(self): pass"),
+    (2, "HTTPServer2 handles getX and value42"),
+    (3, "plain words only"),
+    (4, "__init__ calls superInit"),
+]
+
+_CODE_TOK_EXPECTED = [
+    (1, ["class", "dataloader", "def", "load_batch", "self", "pass",
+         "data", "loader", "load", "batch"]),
+    (2, ["httpserver2", "handles", "getx", "and", "value42",
+         "http", "server2", "get", "x"]),
+    (3, ["plain", "words", "only"]),
+    (4, ["__init__", "calls", "superinit", "super", "init"]),
+]
+
+_CODE_TOK_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({d} AS BIGINT) AS doc_id, CAST({p} AS BIGINT) AS pos, "
+    f"'{t}' AS token"
+    for d, toks in _CODE_TOK_EXPECTED for p, t in enumerate(toks))
+
+
+@register("analyzer_code_tokens", sql=_CODE_TOK_SQL)
+def analyzer_code_tokens(spark, sf_dir):
+    """The opt-in `code` analyzer for source-code corpora (r6 — the
+    north rule's corpus is source files; builder analyzer="code"):
+    standard tokens plus camelCase/snake_case sub-tokens appended after
+    the base stream (getUserName findable as get/user/name AND
+    getusername; phrase queries keep operating on the base stream).
+    Entirely JVM-side higher-order array expressions — no Python in the
+    tokenize path. Oracle = hand-derived VALUES per the documented
+    contract (independent of the implementation); the index e2e (build
+    with analyzer="code", search by sub-token) is pytest-covered in
+    test_stage_extras."""
+    from lucille_spark.analysis.analyzers import tokenize_code_col
+
+    df = spark.createDataFrame(_CODE_TOK_FIXTURES,
+                               "doc_id long, text string")
+    return (df.select("doc_id", F.posexplode(
+        tokenize_code_col(F.col("text"))).alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    "token"))
+
+
 @register("source_sequence", sql="""
 SELECT 'seq-' || CAST(i AS VARCHAR) AS id
 FROM range(0, 25) t(i)
@@ -2559,7 +2609,11 @@ GATE_ORDER = [
     # -- language-ID stages
     "stage_langid_options", "stage_langid_scripts",
     # -- pipeline stages / sources never driver-verified
-    "stage_jsonata", "source_sequence", "multimodal_features",
+    # (source_sequence rotated out late-r6 for analyzer_code_tokens —
+    #  the north rule's corpus is source code, so the code analyzer's
+    #  token contract belongs in the window; SequenceConnector is a
+    #  trivial generator, green r5-r6 and pytest-covered)
+    "stage_jsonata", "analyzer_code_tokens", "multimodal_features",
     # -- chunking / entities (the bigdict entry covers the join path;
     #    the expression path is pytest-covered, rotated out for the two
     #    new r5 entries above)
@@ -2581,6 +2635,7 @@ GATE_ORDER = [
     "stage_field_ops", "stage_regex_ops", "stage_parse_filepath",
     "stage_date_ops", "stage_chunk_overlap", "wand_prefix_top10",
     "dedup_minhash_signatures", "dedup_lsh_candidate_pairs",
+    "source_sequence",
 ]
 
 _missing = [n for n in GATE_ORDER if n not in QUERIES]
