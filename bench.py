@@ -77,13 +77,19 @@ QUAL_FLOOR = float(os.environ.get("BENCH_QUAL_FLOOR_GBPS", "4.0"))
 # and ~10 on good ones; collapse readings are 0.5-0.8.
 QUAL_LO_FLOOR = float(os.environ.get("BENCH_QUAL_LO_FLOOR_GBPS", "1.5"))
 MAX_EPOCHS = int(os.environ.get("BENCH_SCALE_MAX_EPOCHS", "6"))
-# self-consistency tolerance: each qualified epoch's per-side build time
-# must be within this factor of the run's minimum for that side (catches
-# collapse windows INSIDE an epoch that the bracket probes straddle);
-# clean-phase epoch-to-epoch spread on the same side is <=12% (r5/r6
-# series), so 1.25 keeps normal jitter while rejecting the observed
-# 42%-inflated interior-collapse epochs
-SELF_TOL = float(os.environ.get("BENCH_SELF_TOL", "1.25"))
+# self-consistency (SKEW) tolerance: an epoch qualifies only if its two
+# sides are inflated BY THE SAME FACTOR relative to the run's per-side
+# minima — skew = (low/min_low)/(high/min_high) within [1/tol, tol].
+# This catches collapse windows INSIDE an epoch that the bracket probes
+# straddle (asymmetric: one side inflated, observed 42% on the high
+# side and 77% on the low side with clean brackets) while staying
+# INVARIANT to uniform phase drift: a first-try per-side band vs the
+# run minimum disqualified two good-ratio epochs that were merely 25%
+# into a documented slow phase and published the one asymmetric
+# low-ratio epoch as the headline (validation run 8, 0.467). Minima
+# are safe anchors — host contention only ever inflates, so no outlier
+# can deflate them.
+SELF_TOL = float(os.environ.get("BENCH_SELF_TOL", "1.2"))
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 # N and 4N cores for the scaling pair. 2->8 is the regime where this VM's
@@ -413,26 +419,25 @@ def main():
                                              if probe_secs else 5.0)
             pre = post  # post-probe doubles as the next epoch's pre-probe
 
-        # second qualification test, post-hoc (r6, validation run 2): a
-        # collapse window INSIDE a ~100 s epoch can hide between two
+        # second qualification test, post-hoc (r6, validation runs 2+8):
+        # a collapse window INSIDE a ~100 s epoch can hide between two
         # clean bracket probes — observed: an epoch bracketed 19.5/18.2
         # GB/s clean yet built 42% over the run's demonstrated-best
         # 8-core time, putting a host-weather 0.557 into the "qualified"
-        # headline while the genuinely-clean epoch (ratio 3.03) was
-        # discarded for a post-probe that caught the collapse AFTER its
-        # builds finished. The builds themselves are the best probe of
-        # their own interval: an epoch also qualifies only if BOTH sides
-        # ran within SELF_TOL of the run's minimum for that side
-        # (asymmetric interior collapse inflates one side past that;
-        # a uniformly slow phase passes both sides and stays qualified —
-        # that's the point of the interleaved pair design). Post-hoc
-        # because the minima need the whole run.
+        # headline. The builds themselves are the best probe of their
+        # own interval, but the test must be on the epoch's SKEW (one
+        # side off-trend relative to the other), not per-side absolute
+        # bands: uniform slow-phase drift inflates both sides together
+        # and leaves the ratio valid — that is the interleaved design's
+        # whole point — while an interior collapse hits one side.
+        # Post-hoc because the per-side minima need the whole run.
         if epochs:
             min_low = min(e["low"] for e in epochs)
             min_high = min(e["high"] for e in epochs)
             for e in epochs:
-                e["self_consistent"] = (e["low"] <= SELF_TOL * min_low
-                                        and e["high"] <= SELF_TOL * min_high)
+                skew = (e["low"] / min_low) / (e["high"] / min_high)
+                e["skew"] = round(skew, 3)
+                e["self_consistent"] = 1 / SELF_TOL <= skew <= SELF_TOL
                 e["qualified"] = e["qualified"] and e["self_consistent"]
         lows = [e["low"] for e in epochs]
         highs = [e["high"] for e in epochs]
@@ -471,11 +476,12 @@ def main():
                        "STREAM probes at both levels, qualified iff "
                        f"hi-bw >= {QUAL_RATIO}x lo-bw AND hi-bw >= "
                        f"{QUAL_FLOOR} GB/s AND lo-bw >= {QUAL_LO_FLOOR} "
-                       "GB/s on both brackets AND both "
-                       f"sides within {SELF_TOL}x of the run's per-side "
-                       "minimum (interior-collapse guard); efficiency = "
-                       "median of QUALIFIED per-epoch ratios / "
-                       "core ratio"),
+                       "GB/s on both brackets AND epoch skew "
+                       "(low/min_low)/(high/min_high) within "
+                       f"[1/{SELF_TOL}, {SELF_TOL}] (interior-collapse "
+                       "guard, invariant to uniform phase drift); "
+                       "efficiency = median of QUALIFIED per-epoch "
+                       "ratios / core ratio"),
             "warmup_note": warmup_note,
             "cpus_low": lo, "docs_per_sec_low": thr_low,
             "build_secs_low": lows,
@@ -487,6 +493,7 @@ def main():
                 {"pre": e["pre"], "post": e["post"]} for e in epochs],
             "epoch_self_consistent": [
                 e.get("self_consistent") for e in epochs],
+            "epoch_skew": [e.get("skew") for e in epochs],
             "n_qualified": len(q_eps),
             "qual_ratio": QUAL_RATIO,
             "qual_lo_floor_gbps": QUAL_LO_FLOOR,
