@@ -90,6 +90,57 @@ MAX_EPOCHS = int(os.environ.get("BENCH_SCALE_MAX_EPOCHS", "6"))
 # are safe anchors — host contention only ever inflates, so no outlier
 # can deflate them.
 SELF_TOL = float(os.environ.get("BENCH_SELF_TOL", "1.2"))
+# per-side absolute band (validation run 9): skew alone passed an epoch
+# whose BOTH sides were heavily contended but near-proportionally (low
+# 1.55x / high 1.31x of the run minima -> skew 1.18, inside the band),
+# publishing a host-weather 0.465 as "qualified". Skew stays the primary
+# test (invariant to uniform drift), but an epoch whose either side ran
+# more than SIDE_TOL x its run minimum was measured in a window too
+# contended to represent the engine at all. 1.45 clears the documented
+# 25% uniform slow-phase drift plus the <=12% clean same-side spread
+# (run 8's good epochs sat at ~1.27x; run 3's high spread was 1.25x)
+# while rejecting run 9's 1.55x.
+SIDE_TOL = float(os.environ.get("BENCH_SIDE_TOL", "1.45"))
+# probe wall-clock cap (validation run 9): in a collapse the probes
+# THEMSELVES crawl (26-63 s per bracket vs 3-8 s clean), eating the
+# budget the retry loop needs. A probe repeat that exceeds the cap is
+# direct collapse evidence — stop probing and let the partial (low)
+# reading fail the floors, routing to the cheap sleep-and-re-probe path.
+PROBE_CAP_SEC = float(os.environ.get("BENCH_PROBE_CAP_SEC", "20"))
+
+
+def qualify_epochs(epochs, self_tol=None, side_tol=None):
+    """Post-hoc interior-contention qualification (module-level so the
+    replay tests can run it against recorded validation-run shapes).
+
+    Each epoch dict arrives with `low`/`high` build seconds and a
+    `qualified` flag carrying the bracket-probe verdict; this adds the
+    two build-time tests and folds them in:
+      - skew: (low/min_low)/(high/min_high) within [1/SELF_TOL, SELF_TOL]
+        — catches a collapse that hits ONE side inside an epoch while
+        staying invariant to uniform phase drift (validation run 8);
+      - side band: each side <= SIDE_TOL x its run minimum — catches a
+        NEAR-proportional deep contention that skew tolerates (run 9:
+        low 1.55x / high 1.31x -> skew 1.18 "passed" while the window
+        measured the host, not the engine). Loose (1.45) so the 25%
+        uniform drift + <=12% clean spread skew was built for still pass.
+    Minima are safe anchors: host contention only ever inflates.
+    """
+    self_tol = SELF_TOL if self_tol is None else self_tol
+    side_tol = SIDE_TOL if side_tol is None else side_tol
+    if not epochs:
+        return epochs
+    min_low = min(e["low"] for e in epochs)
+    min_high = min(e["high"] for e in epochs)
+    for e in epochs:
+        skew = (e["low"] / min_low) / (e["high"] / min_high)
+        e["skew"] = round(skew, 3)
+        e["self_consistent"] = 1 / self_tol <= skew <= self_tol
+        e["side_ok"] = (e["low"] <= side_tol * min_low
+                        and e["high"] <= side_tol * min_high)
+        e["qualified"] = (e["qualified"] and e["self_consistent"]
+                          and e["side_ok"])
+    return epochs
 QUERY_REPS = int(os.environ.get("BENCH_QUERY_REPS", "3"))
 RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
 # N and 4N cores for the scaling pair. 2->8 is the regime where this VM's
@@ -375,7 +426,23 @@ def main():
             # commands, so it reads host state, not our own load.
             try:
                 t0 = time.time()
-                p = {c: _membw(c, iters=2, repeats=2) for c in (lo, hi)}
+                p = {}
+                for c in (lo, hi):
+                    best = 0.0
+                    for _ in range(2):
+                        best = max(best, _membw(c, iters=2, repeats=1))
+                        if time.time() - t0 > PROBE_CAP_SEC:
+                            # a repeat this slow IS the collapse — stop
+                            # paying for more evidence (run 9: brackets
+                            # cost 26-63 s mid-collapse); a partial/
+                            # single-repeat reading is biased LOW, so it
+                            # fails the floors and the epoch loop takes
+                            # the cheap sleep path instead
+                            break
+                    p[c] = best
+                    if time.time() - t0 > PROBE_CAP_SEC and len(p) < 2:
+                        p[hi if c == lo else lo] = 0.0  # unmeasured
+                        break
                 probe_secs.append(round(time.time() - t0, 1))
                 return p
             except Exception:  # probe must never sink the artifact
@@ -431,14 +498,7 @@ def main():
         # and leaves the ratio valid — that is the interleaved design's
         # whole point — while an interior collapse hits one side.
         # Post-hoc because the per-side minima need the whole run.
-        if epochs:
-            min_low = min(e["low"] for e in epochs)
-            min_high = min(e["high"] for e in epochs)
-            for e in epochs:
-                skew = (e["low"] / min_low) / (e["high"] / min_high)
-                e["skew"] = round(skew, 3)
-                e["self_consistent"] = 1 / SELF_TOL <= skew <= SELF_TOL
-                e["qualified"] = e["qualified"] and e["self_consistent"]
+        qualify_epochs(epochs)
         lows = [e["low"] for e in epochs]
         highs = [e["high"] for e in epochs]
         results = {}
@@ -479,7 +539,9 @@ def main():
                        "GB/s on both brackets AND epoch skew "
                        "(low/min_low)/(high/min_high) within "
                        f"[1/{SELF_TOL}, {SELF_TOL}] (interior-collapse "
-                       "guard, invariant to uniform phase drift); "
+                       "guard, invariant to uniform phase drift) AND "
+                       f"each side <= {SIDE_TOL}x its run minimum "
+                       "(near-proportional deep-contention guard); "
                        "efficiency = median of QUALIFIED per-epoch "
                        "ratios / core ratio"),
             "warmup_note": warmup_note,
@@ -494,10 +556,13 @@ def main():
             "epoch_self_consistent": [
                 e.get("self_consistent") for e in epochs],
             "epoch_skew": [e.get("skew") for e in epochs],
+            "epoch_side_ok": [e.get("side_ok") for e in epochs],
             "n_qualified": len(q_eps),
             "qual_ratio": QUAL_RATIO,
             "qual_lo_floor_gbps": QUAL_LO_FLOOR,
             "self_tol": SELF_TOL,
+            "side_tol": SIDE_TOL,
+            "probe_cap_sec": PROBE_CAP_SEC,
             "qual_floor_gbps": QUAL_FLOOR,
             "probe_secs": probe_secs,
             "probe_wait_sec": round(wait_sec, 1),
