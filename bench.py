@@ -560,10 +560,22 @@ def main():
 
         ratios = [e["ratio"] for e in epochs]
         q_eps = [e for e in epochs if e["qualified"]]
-        # headline = qualified median; if NO epoch qualified (host
-        # collapsed for the whole run), fall back to the all-epoch
-        # median — flagged, so the number is never silently phase-noise
-        use = q_eps if q_eps else epochs
+        # headline = qualified median. If NO epoch qualified, the flagged
+        # fallback medians the best-evidence subset: epochs whose BUILD
+        # signatures are clean (skew + side band) but whose bracket
+        # probes saw weather — a probe-killed epoch with clean builds is
+        # "maybe-clean", while a build-guard-failed epoch is a proven
+        # collapse that would only pollute the fallback (run 17: an 85.8s
+        # 8-core collapse build dragged the all-epoch fallback to 0.679
+        # while the build-clean epochs medianed 0.79). All-epoch median
+        # only if nothing passes even the build guards; the basis is
+        # recorded in `fallback_basis` and the number stays flagged
+        # (`efficiency_qualified: false`) either way.
+        build_ok = [e for e in epochs
+                    if e.get("self_consistent") and e.get("side_ok")]
+        use = q_eps or build_ok or epochs
+        fallback_basis = ("qualified" if q_eps
+                          else "build-guard-passing" if build_ok else "all")
         use_lows = [e["low"] for e in use]
         use_highs = [e["high"] for e in use]
         use_ratios = [e["ratio"] for e in use]
@@ -614,6 +626,7 @@ def main():
             "speedup": round(_median(use_ratios), 3),
             "efficiency": round(eff, 3),
             "efficiency_qualified": bool(q_eps),
+            "fallback_basis": fallback_basis,
             # labeled context metrics, not the headline: all-epoch median
             # is the r5-series continuity metric (pre-qualification
             # definition); best epoch bounds what the engine reaches when
