@@ -1178,6 +1178,17 @@ _LANGID_SCRIPT_FIXTURES = [
     (18, "นี่คือประโยคภาษาไทย"),                        # th (Thai)
     (19, "Սա հայերեն նախադասություն է"),             # hy (Armenian)
     (20, "ეს ქართული წინადადებაა"),                  # ka (Georgian)
+    # late r6: ten more one-language script blocks
+    (21, "នេះជាប្រយោគភាសាខ្មែរ"),                     # km (Khmer)
+    (22, "ນີ້ແມ່ນປະໂຫຍກພາສາລາວ"),                    # lo (Lao)
+    (23, "ဤသည်မှာမြန်မာစာကြောင်းဖြစ်သည်"),           # my (Myanmar)
+    (24, "මෙය සිංහල වාක්‍යයකි"),                        # si (Sinhala)
+    (25, "ఇది తెలుగు వాక్యం"),                          # te (Telugu)
+    (26, "ಇದು ಕನ್ನಡ ವಾಕ್ಯ"),                           # kn (Kannada)
+    (27, "ഇത് ഒരു മലയാള വാക്യം"),                      # ml (Malayalam)
+    (28, "આ એક ગુજરાતી વાક્ય છે"),                      # gu (Gujarati)
+    (29, "ਇਹ ਇੱਕ ਪੰਜਾਬੀ ਵਾਕ ਹੈ"),                      # pa (Punjabi)
+    (30, "ይህ የአማርኛ ዓረፍተ ነገር ነው"),                 # am (Amharic)
 ]
 
 
@@ -1201,6 +1212,12 @@ def _langid_scripts_sql(min_len: int = 5) -> str:
         "zh": "[㐀-䶿一-鿿]",
         "hi": "[ऀ-ॿ]", "bn": "[ঀ-৿]", "ta": "[஀-௿]",
         "th": "[฀-๿]", "hy": "[԰-֏]", "ka": "[Ⴀ-ჿ]",
+        # late r6: ten more one-language blocks (lockstep with
+        # textstats.SCRIPT_RANGES)
+        "km": "[ក-៿]", "lo": "[຀-໿]", "my": "[က-႟]",
+        "si": "[඀-෿]", "te": "[ఀ-౿]", "kn": "[ಀ-೿]",
+        "ml": "[ഀ-ൿ]", "gu": "[઀-૿]", "pa": "[਀-੿]",
+        "am": "[ሀ-፿]",
     }
     markers = {"uk": ("ru", "[іїєґІЇЄҐ]"), "fa": ("ar", "[پچژگ]"),
                "ur": ("ar", "[ٹڈڑںے]")}

@@ -228,6 +228,19 @@ SCRIPT_RANGES: Dict[str, str] = {
     # so vi confidence reads lower than a full-script language's —
     # documented, matches the marker-rule semantics.
     "vi": "[ẠạẢảẤấẦầẨẩẪẫẬậẮắẰằẲẳẴẵẶặẸẹẺẻẼẽẾếỀềỂểỄễỆệỈỉỊịỌọỎỏỐốỒồỔổỖỗỘộỚớỜờỞởỠỡỢợỤụỦủỨứỪừỬửỮữỰựỲỳỴỵỶỷỸỹĐđƠơƯư]",
+    # late r6: ten more one-language script blocks (each block's web text
+    # is overwhelmingly one language, as in cybozu's coarse first pass)
+    "km": "[ក-៿]",            # Khmer
+    "lo": "[຀-໿]",            # Lao
+    "my": "[က-႟]",            # Myanmar
+    "si": "[඀-෿]",            # Sinhala
+    "te": "[ఀ-౿]",            # Telugu
+    "kn": "[ಀ-೿]",            # Kannada
+    "ml": "[ഀ-ൿ]",            # Malayalam
+    "gu": "[઀-૿]",            # Gujarati
+    "pa": "[਀-੿]",            # Gurmukhi (Punjabi)
+    "am": "[ሀ-፿]",            # Ethiopic (Amharic; documented deviation:
+                                 # ti/om share the block, as hi's does)
 }
 
 # Marker-disambiguated languages over a shared base script (r5), same

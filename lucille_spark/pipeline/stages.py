@@ -680,7 +680,8 @@ class DetectLanguage(Stage):
     ja-vs-zh resolved by kana presence (ml/textstats.SCRIPT_RANGES), and
     script confidence = floor(script_chars / non-space_chars * 100)/100.
     The reference's cybozu langdetect reaches ~50 languages with n-gram
-    Bayesian profiles; this covers the 10 Latin profiles + 7 script blocks
+    Bayesian profiles; this covers 28 Latin stopword profiles + 24 script
+    blocks + 3 marker-disambiguated variants (uk/fa/ur) = 55 languages,
     deterministically (documented deviation, COVERAGE.md).
     """
     source: Sequence[str] | str = ""

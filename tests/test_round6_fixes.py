@@ -362,6 +362,32 @@ def test_vietnamese_marker_route(spark):
     assert 0.0 < gs[0][1] <= 1.0
 
 
+def test_r6_script_block_breadth(spark):
+    """late r6: ten more one-language script blocks (km/lo/my/si/te/kn/
+    ml/gu/pa/am) — each fixture must win via the script route in both
+    language_scores and the DetectLanguage stage (same strings as the
+    driver gate's VALUES-oracle fixtures 21-30)."""
+    from lucille_spark.gate import _LANGID_SCRIPT_FIXTURES
+    from lucille_spark.ml.textstats import language_scores
+    from lucille_spark.pipeline.stages import DetectLanguage
+
+    want = {21: "km", 22: "lo", 23: "my", 24: "si", 25: "te",
+            26: "kn", 27: "ml", 28: "gu", 29: "pa", 30: "am"}
+    rows = [(i, t) for i, t in _LANGID_SCRIPT_FIXTURES if i in want]
+    assert len(rows) == 10
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.predicted
+           for r in language_scores(df, "doc_id", "text").collect()}
+    for i, lang in want.items():
+        assert got[i] == lang, (i, got[i], lang)
+
+    out = DetectLanguage(source="text", min_length=5).apply(df)
+    gs = {r.doc_id: (r.language, r.language_confidence)
+          for r in out.collect()}
+    for i, lang in want.items():
+        assert gs[i][0] == lang and 0.0 < gs[i][1] <= 1.0, (i, gs[i])
+
+
 # --------------------------------------- distributed spell-check twin
 
 
