@@ -85,17 +85,22 @@ SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
 #     are calibrated for; the probes' job is the two ABSOLUTE floors plus
 #     inversion, which builds cannot self-detect when a whole run is
 #     uniformly degraded. AND
-#   floor: hi-bw >= 15 GB/s. The original 4.0 floor (clean 8-proc
+#   floor: hi-bw >= 22 GB/s. The original 4.0 floor (clean 8-proc
 #     readings 9-30, collapse 0.7-1.4) was calibrated on the
 #     pre-encode-cache build; the r6 cache fix removed perfectly-parallel
-#     compute and left the build more bandwidth-exposed, and the
-#     post-fix evidence is consistent: epochs bracketed >= 20 GB/s read
-#     ratios 3.3-4.0, epochs bracketed ~8.5 read 2.68-2.72 (run 14) —
-#     a thinned-bandwidth window measures the host's ceiling, not the
-#     engine. Clean-phase 8-proc readings are 20-27; degraded windows
-#     read 8-17.
+#     compute and left the build bandwidth-exposed enough that the
+#     8-core side needs the host's FULL clean-phase bandwidth. The
+#     post-fix 84k evidence is sharp on both sides of 22: brackets
+#     >= 23 GB/s -> ratios 3.3-4.0 (runs 13/16); brackets 19-21 ->
+#     2.2 with every other guard green (run 19: the high side ran 80%
+#     over its clean time for the whole run while skew/side/ratio all
+#     passed — a uniformly thinned window is self-consistent, only an
+#     absolute anchor can see it); brackets ~8.5 -> 2.7 (run 14).
+#     Consequence: a QUALIFIED efficiency now only ever comes from a
+#     true clean window; every degraded regime reports flagged with the
+#     probe series as evidence.
 QUAL_RATIO = float(os.environ.get("BENCH_QUAL_RATIO", "1.1"))
-QUAL_FLOOR = float(os.environ.get("BENCH_QUAL_FLOOR_GBPS", "15.0"))
+QUAL_FLOOR = float(os.environ.get("BENCH_QUAL_FLOOR_GBPS", "22.0"))
 # low-side floor (late r6): a 2-proc collapse INFLATES measured ratios
 # (the low build slows), and the hi/lo ratio test passes trivially when
 # lo collapses (observed: probe {2: 0.5, 8: 19.3} passed while the host

@@ -13,6 +13,7 @@ round 5 adds the sibling combinators):
     simple := [tag|*] [#id] (.class)* ([attr] | [attr=value] | [attr~=value])* pseudo*
     pseudo := :first-child | :nth-child(An+B|odd|even|k)
             | :first-of-type | :nth-of-type(...)
+            | :not(simple)             # start-tag-decidable inner only
             | :last-child | :last-of-type | :only-child | :only-of-type
             | :nth-last-child(...) | :nth-last-of-type(...)   # subject only
 
@@ -85,15 +86,20 @@ _FINALIZED = {"last-child", "last-of-type", "only-child", "only-of-type",
               "nth-last-child", "nth-last-of-type"}
 
 
-def _parse_pseudos(raw: str, sel: str) -> List[Tuple[str, int, int]]:
+def _parse_pseudos(raw: str, sel: str,
+                   in_not: bool = False) -> List[Tuple[str, int, int]]:
     """Structural pseudo-classes: (kind, A, B). Kinds 'child'/'type'
     (position among element / same-tag siblings) are decidable at
     START-TAG time; the _FINALIZED kinds (`:last-child`,
     `:last-of-type`, `:only-child`, `:only-of-type`,
     `:nth-last-child(An+B)`, `:nth-last-of-type(An+B)`) are decided at
     PARENT-CLOSE time via the pending-candidate buffer (r6; subject
-    position only — parse_selector enforces). Non-structural pseudos
-    (`:hover` etc.) stay out of grammar."""
+    position only — parse_selector enforces). `:not(simple)` (late r6)
+    negates an inner start-tag-decidable simple — represented as
+    ("not", inner_simple, 0); nesting `:not` or putting a finalized
+    pseudo inside it is rejected (the negation of a parent-close fact
+    is itself a parent-close fact — out of the start-tag grammar).
+    Non-structural pseudos (`:hover` etc.) stay out of grammar."""
     out: List[Tuple[str, int, int]] = []
     for m in _PSEUDO.finditer(raw or ""):
         name, arg = m.group(1), m.group(2)
@@ -106,13 +112,53 @@ def _parse_pseudos(raw: str, sel: str) -> List[Tuple[str, int, int]]:
         elif name == "nth-of-type":
             out.append(("type", *_parse_nth(arg or "")))
         elif name in ("nth-last-child", "nth-last-of-type"):
+            if in_not:
+                raise ValueError(
+                    f"':{name}' inside :not() is not supported ({sel!r})")
             out.append((name, *_parse_nth(arg or "")))
         elif name in _FINALIZED:
+            if in_not:
+                raise ValueError(
+                    f"':{name}' inside :not() is not supported ({sel!r})")
             out.append((name, 0, 0))
+        elif name == "not":
+            if in_not:
+                raise ValueError(f"nested :not() in selector {sel!r}")
+            if not (arg or "").strip():
+                raise ValueError(f"empty :not() in selector {sel!r}")
+            out.append(("not", _compile_simple(arg.strip(), sel,
+                                               in_not=True), 0))
         else:
             raise ValueError(
                 f"unsupported pseudo-class ':{name}' in selector {sel!r}")
     return out
+
+def _compile_simple(part: str, sel: str, in_not: bool = False) -> tuple:
+    """Compile one simple selector to (tag, id, classes, attrs, pseudos).
+    Shared by parse_selector's chain steps and :not()'s inner simple
+    (``in_not`` forbids parent-close pseudos and further nesting there).
+    Note :not's inner cannot itself carry a parenthesized pseudo — the
+    outer :pseudo(...) token regex does not nest parens; positional
+    keywords (`:first-child`, `:first-of-type`) are fine."""
+    m = _SIMPLE.match(part)
+    if not m or (not m.group(1) and not m.group(2) and not m.group(3)
+                 and not m.group(4) and not m.group(5)):
+        raise ValueError(f"unsupported selector {part!r}")
+    tag = m.group(1)
+    if tag == "*":
+        tag = None
+    eid = m.group(2)[1:] if m.group(2) else None
+    classes = [c for c in (m.group(3) or "").split(".") if c]
+    attrs: List[Tuple[str, str, Optional[str]]] = []
+    for am in _ATTR.finditer(m.group(4) or ""):
+        v = am.group(3)
+        if v is not None:
+            v = v.strip("\"'")
+        op = "~=" if am.group(2) else ("=" if v is not None else "")
+        attrs.append((am.group(1), op, v))
+    pseudos = _parse_pseudos(m.group(5), sel, in_not=in_not)
+    return (tag.lower() if tag else None, eid, classes, attrs, pseudos)
+
 
 VOID_TAGS = {"br", "img", "hr", "meta", "link", "input", "area", "base",
              "col", "embed", "source", "track", "wbr", "param"}
@@ -166,25 +212,7 @@ def parse_selector(sel: str) -> List[tuple]:
                 raise ValueError(f"misplaced {p!r} in selector {sel!r}")
             comb = _COMBINATORS[p]
             continue
-        m = _SIMPLE.match(p)
-        if not m or (not m.group(1) and not m.group(2) and not m.group(3)
-                     and not m.group(4) and not m.group(5)):
-            raise ValueError(f"unsupported selector {p!r}")
-        tag = m.group(1)
-        if tag == "*":
-            tag = None
-        eid = m.group(2)[1:] if m.group(2) else None
-        classes = [c for c in (m.group(3) or "").split(".") if c]
-        attrs: List[Tuple[str, str, Optional[str]]] = []
-        for am in _ATTR.finditer(m.group(4) or ""):
-            v = am.group(3)
-            if v is not None:
-                v = v.strip("\"'")
-            op = "~=" if am.group(2) else ("=" if v is not None else "")
-            attrs.append((am.group(1), op, v))
-        pseudos = _parse_pseudos(m.group(5), sel)
-        simple = (tag.lower() if tag else None, eid, classes, attrs,
-                  pseudos)
+        simple = _compile_simple(p, sel)
         out.append((simple, None if not out else (comb or "descendant")))
         comb = None
         expect_simple = False
@@ -225,6 +253,12 @@ def _match_simple(el, s, preceding=()) -> bool:
         if op == "~=" and v not in (a.get(k) or "").split():
             return False
     for kind, A, B in pseudos:
+        if kind == "not":
+            # A holds the inner compiled simple (start-tag-decidable by
+            # construction — parse rejects finalized pseudos inside)
+            if _match_simple(el, A, preceding):
+                return False
+            continue
         if kind in _FINALIZED:
             continue  # optimistic here; decided at parent close (r6)
         # 1-based position among element siblings (text/comment nodes

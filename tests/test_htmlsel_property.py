@@ -111,6 +111,10 @@ def _simple_match(el, simple):
     tpos = same.index(el) + 1
     n, nt = len(sibs), len(same)
     for name, arg in pseudos:
+        if name == "not":           # arg is the inner reference-simple
+            if _simple_match(el, arg):
+                return False
+            continue
         ok = {
             "first-child": pos == 1,
             "last-child": pos == n,
@@ -231,6 +235,25 @@ def _simple_sel(draw, allow_finalized):
             else None
         pseudos.append((name, arg))
         parts.append(f":{name}" + (f"({arg})" if arg else ""))
+    if draw(st.integers(0, 2)) == 0:
+        # :not(inner) with a start-tag-decidable single-feature inner
+        inner_kind = draw(st.sampled_from(["tag", "class", "attr",
+                                           "first"]))
+        if inner_kind == "tag":
+            it = draw(st.sampled_from(_TAGS))
+            inner_text, inner = it, (it, None, [], [], [])
+        elif inner_kind == "class":
+            ic = draw(st.sampled_from(_CLASSES))
+            inner_text, inner = f".{ic}", (None, None, [ic], [], [])
+        elif inner_kind == "attr":
+            iv = draw(st.sampled_from(["u", "v"]))
+            inner_text = f"[data-x={iv}]"
+            inner = (None, None, [], [("data-x", "=", iv)], [])
+        else:
+            inner_text = ":first-child"
+            inner = (None, None, [], [], [("first-child", None)])
+        pseudos.append(("not", inner))
+        parts.append(f":not({inner_text})")
     sel_text = "".join(parts)
     simple = (None if tag == "*" else tag, None, classes, attrs, pseudos)
     return sel_text, simple

@@ -238,6 +238,35 @@ def test_html_finalized_pseudo_composition_and_root():
     assert select_html("<div><p>u1<p>u2", "p:last-child") == ["u2"]
 
 
+def test_html_not_pseudo_class():
+    """late r6: `:not(simple)` with a start-tag-decidable inner — tag,
+    class, attribute or positional forms; composes with chain steps and
+    other pseudos; parent-close pseudos and nesting inside :not are
+    rejected (their negation is itself a parent-close fact)."""
+    import pytest
+
+    from lucille_spark.pipeline.htmlsel import parse_selector, select_html
+
+    html = ('<ul><li class="ca">one</li><li>two</li>'
+            '<li class="ca" data-x="u">three</li></ul>')
+    assert select_html(html, "li:not(.ca)") == ["two"]
+    assert select_html(html, "li:not([data-x=u])") == ["one", "two"]
+    assert select_html(html, "li:not(:first-child)") == ["two", "three"]
+    assert select_html(html, "li:not(.ca):not(:first-child)") == ["two"]
+    assert select_html(html, "ul > li:not(.ca)") == ["two"]
+    # :not on a NON-subject step (start-tag-decidable -> allowed)
+    two_lists = ('<div class="ca"><p>in-ca</p></div>'
+                 '<div><p>plain</p></div>')
+    assert select_html(two_lists, "div:not(.ca) > p") == ["plain"]
+    # inner tag form: every non-li child
+    mixed = "<ul><li>a</li><em>b</em><li>c</li></ul>"
+    assert select_html(mixed, "ul > *:not(li)") == ["b"]
+    for bad in (":not(:last-child)", ":not(:nth-last-child(2))",
+                ":not(:not(div))", ":not()"):
+        with pytest.raises(ValueError):
+            parse_selector(bad)
+
+
 # --------------------------------------------- ADVICE r5 hardening items
 
 
