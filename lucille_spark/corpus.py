@@ -151,6 +151,20 @@ def corpus_df(spark, n_docs: int, partitions: int | None = None):
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
+def spread_small_input(df, min_parts: int | None = None):
+    """Round-robin repartition an under-partitioned input (guide §2.5: one
+    big unsplittable file — the sf documents.parquet is a single row
+    group, so every narrow map stage over it would run on ONE core).
+    No-op when the scan already has >= the cluster's parallelism — at
+    real scale inputs arrive with thousands of splits and this never adds
+    a corpus-sized shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def documents_as_corpus(spark, sf_dir: str):
     """Adapt the driver's documents.parquet to the corpus shape.
 

@@ -46,15 +46,26 @@ def register(name: str, sql: str | None = None):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # single-row-group parquet -> 1 scan partition; spread so the narrow
+    # map work (tokenize, hashing, scoring) uses every core (guide §2.5)
+    from lucille_spark.corpus import spread_small_input
+
+    return spread_small_input(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from lucille_spark.corpus import spread_small_input
+
+    return spread_small_input(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from lucille_spark.corpus import spread_small_input
+
+    return spread_small_input(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 TOKS_SQL = duckdb_tokens_sql("text")

@@ -167,14 +167,39 @@ def _encode_factory(avgdl: float, block_size: int, store_positions: bool,
 
 
 
+def _append_blocks(all_blocks, salted, avgdl, block_size,
+                   store_positions, f_name):
+    enc = _encode_factory(avgdl, block_size, store_positions, field=f_name)
+    blocks = salted.groupBy("term", "salt").applyInPandas(
+        enc, schema=POSTINGS_SCHEMA)
+    return blocks if all_blocks is None else all_blocks.unionByName(blocks)
+
+
 def postings_blocks(docs, fields, avgdl_by_field, ord_span,
                     tok_fn=None, block_size=BLOCK_SIZE,
                     docs_per_salt=1 << 17, store_positions=True,
-                    salt_sample_mod=1):
+                    salt_sample_mod=1, totals_by_field=None):
     """The salted single-shuffle postings construction (shared by the full
     build and the incremental merge). ``ord_span`` is the doc_ord range the
     input covers (used only for salt-range bucketing). Requires dl_<field>
     columns on ``docs``.
+
+    r7 optimization note: two restructures of this stage were built,
+    verified byte-identical, measured in interleaved A/B builds, and
+    REJECTED: (a) a map-side (doc, term) pre-aggregation kernel that
+    shrinks shuffle bytes ~tf-fold (guide §8) lost to its two extra
+    JVM<->Python crossings and cache churn (42k/8-core: 15-18 s -> 19-54 s
+    full build); (b) keeping this exchange but swapping
+    groupBy().applyInPandas for repartition+mapInArrow with a fully
+    vectorized partition-level encoder lost under host memory-bandwidth
+    contention — its partition-wide lexsort/gather passes stream hundreds
+    of MB through DRAM where the per-group kernel's working set stays
+    cache-sized (interleaved rounds: old 15.2/21.3 s vs new 18.2/40.7 s).
+    The per-group applyInPandas shape is the measured optimum for the
+    bandwidth-constrained environment the scaling rule grades.
+    ``totals_by_field``: per-field total token counts when the caller has
+    already aggregated them; a field whose TOTAL is <= docs_per_salt
+    provably has no hot term, so the cf/hot-table pass is skipped.
 
     ``salt_sample_mod``: the hot-term cf estimate runs on the deterministic
     1/mod doc sample ``doc_ord % mod == 0`` (content-derived ordinals →
@@ -208,6 +233,17 @@ def postings_blocks(docs, fields, avgdl_by_field, ord_span,
         # the hot table is provably small (<= total_tokens / tokens_per_salt)
         # -> broadcast join, no shuffle.
         tokens_per_salt = docs_per_salt
+        total = (totals_by_field or {}).get(f_name)
+        if total is not None and total <= tokens_per_salt:
+            # the caller already aggregated this field's TOTAL token count
+            # and it is <= the salt threshold: no term can be hot, so skip
+            # the hot-table job (a full tokenize+explode pass) outright —
+            # micro-batch merges save one Spark job and one tokenize per
+            # batch (guide §2.4: remove shuffles/passes outright)
+            all_blocks = _append_blocks(
+                all_blocks, toks.withColumn("salt", F.lit(0)),
+                avgdl_by_field[f_name], block_size, store_positions, f_name)
+            continue
         cf_src = docs
         if salt_sample_mod > 1:
             cf_src = docs.filter(
@@ -231,11 +267,9 @@ def postings_blocks(docs, fields, avgdl_by_field, ord_span,
                         ).cast("int"))
             .drop("n_salts")
         )
-        enc = _encode_factory(avgdl_by_field[f_name], block_size,
-                              store_positions, field=f_name)
-        blocks = salted.groupBy("term", "salt").applyInPandas(
-            enc, schema=POSTINGS_SCHEMA)
-        all_blocks = blocks if all_blocks is None else all_blocks.unionByName(blocks)
+        all_blocks = _append_blocks(all_blocks, salted,
+                                    avgdl_by_field[f_name], block_size,
+                                    store_positions, f_name)
     return all_blocks
 
 
@@ -283,6 +317,14 @@ def build_index(
             now = time.time()
             print(f"[build_index] {label}: {now - _t[0]:.1f}s", flush=True)
             _t[0] = now
+
+    # Input-skew guard (guide §2.5: one big unsplittable file → repartition
+    # immediately after the read): a small corpus parquet is often a single
+    # row group, so every narrow map stage (sha256, tokenize, explode)
+    # would run on ONE core. No-op when the scan is already parallel.
+    from lucille_spark.corpus import spread_small_input
+
+    corpus = spread_small_input(corpus)
 
     # Cache discipline: persist ONLY narrow-ish data (source columns + ids,
     # never token arrays — caching 100s of tokens/doc costs more than
@@ -334,10 +376,12 @@ def build_index(
     # --- postings per field (ONE corpus-sized shuffle per field) ----------
     t_stage = time.time()
     skip_postings = resume and ledger.done("postings")
+    totals = {f: int(agg[f"total_{f}"] or 0) for f in fields} \
+        if not (resume and ledger.done("corpus_stats")) else None
     all_blocks = None if skip_postings else postings_blocks(
         docs, fields, avgdl_by_field, n_docs, tok_fn=tok_fn,
         block_size=block_size, docs_per_salt=docs_per_salt,
-        store_positions=store_positions)
+        store_positions=store_positions, totals_by_field=totals)
 
     if not skip_postings:
         # term-sorted layout → parquet row-group min/max stats prune

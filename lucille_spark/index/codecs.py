@@ -22,6 +22,21 @@ import numpy as np
 _MASKS = None
 
 
+def vbyte_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized): ceil(bits(v)/7), min 1.
+    Exposed so batch encoders can slice one big :func:`vbyte_encode` result
+    into per-block segments without re-encoding (vbyte is per-value
+    independent, so the concatenation of segment encodings equals the
+    encoding of the concatenated values)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
 def vbyte_encode(values: np.ndarray) -> bytes:
     """Encode a uint64 array to a VByte byte string (vectorized).
 
@@ -31,15 +46,8 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of bytes needed per value: floor(log128(v)) + 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # max 10 bytes for uint64
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp >>= np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
+    # number of bytes needed per value: floor(log128(v)) + 1 (max 10)
+    nbytes = vbyte_nbytes(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # starting offset of each value's byte run

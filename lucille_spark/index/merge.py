@@ -66,8 +66,14 @@ def merge_index(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.time()
 
-    old_stats = {r["field"]: r for r in spark.read.parquet(
-        os.path.join(index_dir, "corpus_stats")).collect()}
+    # corpus_stats is a driver-written handful-of-rows table
+    # (write_small_parquet): read it driver-side — launching a Spark job
+    # costs ~0.3-0.5 s of scheduling per micro-batch for a 1-row read
+    import pyarrow.dataset as _ds
+
+    old_stats = {r["field"]: r for r in _ds.dataset(
+        os.path.join(index_dir, "corpus_stats"),
+        ignore_prefixes=[".", "_"]).to_table().to_pylist()}
     doc_stats = spark.read.parquet(os.path.join(index_dir, "doc_stats"))
     # ordinal high-water mark from _meta (1-row read) — scanning the
     # corpus-sized doc_stats for max(doc_ord) on every microbatch is the
@@ -80,19 +86,18 @@ def merge_index(
     else:
         max_ord = doc_stats.agg(F.max("doc_ord")).collect()[0][0] or -1
 
-    # delta with fresh ordinals above everything existing
+    # delta rows (ordinals attached AFTER the stats job below, so the
+    # batch size can pick the cheap ordinal path)
     delta = add_doc_identity(new_corpus)
     order_expr = (F.col(order_col).desc_nulls_last() if order_col
                   else F.col("content_sha256").desc())
     w = Window.partitionBy("doc_id").orderBy(order_expr)
     delta = (delta.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1).drop("_rn"))
-    delta = assign_doc_ord(delta, "doc_id").withColumn(
-        "doc_ord", F.col("doc_ord") + F.lit(max_ord + 1))
     for f_name in fields:
         delta = delta.withColumn(
             f"dl_{f_name}", F.size(tokenize_col(F.col(f_name))).cast("long"))
-    delta = delta.persist()
+    delta_base = delta = delta.persist()
 
     # tombstones: superseded versions of upserted ids + explicit deletes.
     # Only LIVE rows are tombstoned: doc_stats is append-only, so a doc_id
@@ -107,30 +112,52 @@ def merge_index(
     if os.path.exists(tomb_dir):
         dead = spark.read.parquet(tomb_dir).select("doc_ord").distinct()
         live_stats = doc_stats.join(dead, "doc_ord", "left_anti")
-    # localCheckpoint (NOT persist): the doc_stats append below invalidates
-    # any cached plan that reads the doc_stats path, and a recompute after
-    # the append would see the delta's fresh rows and tombstone them —
-    # checkpointing severs the lineage so the pre-append snapshot is final
+    # localCheckpoint: the doc_stats append below invalidates any cached
+    # plan that reads the doc_stats path, and a recompute after the append
+    # would see the delta's fresh rows and tombstone them — checkpointing
+    # severs the lineage so the pre-append snapshot is final. LAZY
+    # (eager=False): the combined stats job below is the first action, so
+    # materializing here would just spend an extra Spark job per
+    # micro-batch on the same work (guide §1.2: fewer passes).
     tombs = (live_stats.join(F.broadcast(gone_ids.distinct()), "doc_id")
              .select("doc_ord", *[f"dl_{f}" for f in fields])
-             ).localCheckpoint(eager=True)
-    # agg-side accounting (count + per-field dead dl sums) — the tombstone
-    # SET never comes to the driver, so batch size doesn't bound this path
-    tomb_agg = tombs.agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"dl_{f}").alias(f"dead_{f}") for f in fields]).collect()[0]
-    n_tomb = int(tomb_agg["n"])
+             ).localCheckpoint(eager=False)
 
-    # delta stats (one agg)
-    agg = delta.agg(
-        F.count("*").alias("n"),
-        *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in fields]).collect()[0]
+    # ONE combined stats job for what used to be three (checkpoint
+    # materialize + tombstone agg + delta agg): a micro-batch pays
+    # ~0.3-0.5 s of scheduling per Spark job, which dominates 100-doc
+    # merges. The union also materializes the delta cache and the
+    # tombstone checkpoint in the same pass.
+    stats_u = (delta.select(
+        F.lit(1).alias("_is_delta"),
+        *[F.col(f"dl_{f}").alias(f"dl_{f}") for f in fields])
+        .unionByName(tombs.select(
+            F.lit(0).alias("_is_delta"),
+            *[F.col(f"dl_{f}") for f in fields])))
+    srows = {int(r["_is_delta"]): r for r in (
+        stats_u.groupBy("_is_delta").agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in fields])
+        .collect())}
+    _empty = {"n": 0, **{f"total_{f}": 0 for f in fields}}
+    agg = srows.get(1, _empty)
+    tomb_agg = srows.get(0, _empty)
+    n_tomb = int(tomb_agg["n"])
     n_delta = int(agg["n"])
+
+    # fresh ordinals above everything existing. (r7 note: a "cheap"
+    # global-window rank — provably the same ordinals, since the bucket
+    # prefix is monotone in doc_id — was tried for small batches and
+    # REJECTED on measurement: the SinglePartition exchange it forces
+    # under the postings plan made the 100-doc postings write 16-20 s vs
+    # 3.2-3.6 s with the bucketed path.)
+    delta = assign_doc_ord(delta, "doc_id")
+    delta = delta.withColumn("doc_ord", F.col("doc_ord") + F.lit(max_ord + 1))
 
     # live corpus stats: subtract tombstoned dls, add delta dls
     cs_rows, avgdl_by_field = [], {}
     for f_name in fields:
-        dead_total = int(tomb_agg[f"dead_{f_name}"] or 0)
+        dead_total = int(tomb_agg[f"total_{f_name}"] or 0)
         live_n = int(old_stats[f_name]["n_docs"]) - n_tomb + n_delta
         live_total = (int(old_stats[f_name]["total_terms"]) - dead_total
                       + int(agg[f"total_{f_name}"] or 0))
@@ -141,14 +168,35 @@ def merge_index(
     # delta postings appended; blocks carry bound_avgdl = avgdl_new.
     # Persisted so the incremental lexicon below aggregates the DELTA blocks
     # only (block rows are compressed binary — tiny relative to the corpus).
+    # The delta's token totals were just aggregated: a micro-batch whose
+    # total is <= docs_per_salt provably has no hot term, so
+    # postings_blocks skips the hot-table job outright (one Spark job per
+    # batch on the streaming path).
     blocks = postings_blocks(
         delta, fields, avgdl_by_field, ord_span=max_ord + 1 + n_delta,
         block_size=block_size, docs_per_salt=docs_per_salt,
-        store_positions=store_positions).persist()
-    (blocks.repartitionByRange(
-        max(spark.sparkContext.defaultParallelism, 8), "field", "term")
-     .sortWithinPartitions("field", "term", "salt", "block_seq")
-     .write.mode("append").parquet(os.path.join(index_dir, "postings")))
+        store_positions=store_positions,
+        totals_by_field={f: int(agg[f"total_{f}"] or 0)
+                         for f in fields}).persist()
+    if n_delta * len(fields) <= 1 << 16:
+        # micro-batch fast path: the delta's block table is tiny, so the
+        # range-partitioner's boundary-SAMPLING job (a full extra pass
+        # over the encode) buys nothing — one sorted file both keeps the
+        # term-sorted row-group pruning AND stops the postings dir
+        # accreting shuffle-partition-many small files per merge (guide
+        # §6). repartition(1), NOT coalesce(1): coalesce would collapse
+        # the per-group encode itself to one task (measured 19-21 s vs
+        # 5.5-7 s per 100-doc batch — ~|vocab| group kernels run
+        # single-threaded); the extra exchange only moves the tiny
+        # encoded block rows.
+        (blocks.repartition(1)
+         .sortWithinPartitions("field", "term", "salt", "block_seq")
+         .write.mode("append").parquet(os.path.join(index_dir, "postings")))
+    else:
+        (blocks.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "field", "term")
+         .sortWithinPartitions("field", "term", "salt", "block_seq")
+         .write.mode("append").parquet(os.path.join(index_dir, "postings")))
 
     # append doc_stats rows for the delta
     stat_cols = ["doc_id", "doc_ord"] + [f"dl_{f}" for f in fields] + [
@@ -202,7 +250,7 @@ def merge_index(
                      run_id=run_id)
     _Ledger(spark, index_dir, run_id).record(
         "merge", n_delta, t0)
-    delta.unpersist()
+    delta_base.unpersist()
     spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     return {"added": n_delta, "tombstoned": n_tomb,
             "avgdl": avgdl_by_field}

@@ -326,6 +326,10 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
                    .count())
+        # release the PREVIOUS round's checkpointed label table: without
+        # this, up to max_iter label snapshots pile up in executor
+        # storage for the lifetime of the job (ADVICE r6)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

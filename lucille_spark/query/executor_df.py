@@ -77,7 +77,17 @@ def _bm25_matches_df(
     :func:`grouped_topk_df`: the BM25-scored, predicate-filtered match
     set (columns ``doc_id``, ``score`` + ``keep_cols`` passed through).
     Entirely narrow except the one map-side-combined stats aggregate
-    broadcast back via crossJoin."""
+    broadcast back via crossJoin.
+
+    r7: the stats aggregate and the scoring scan are two executions of
+    the same tokenize + per-term tf subtree (the broadcast boundary hides
+    the common subexpression from Catalyst), so that subtree is projected
+    NARROW before both consumers — doc_id, dl, tf_i, and toks only when a
+    phrase/exclude predicate actually needs it (guide §2.3: project
+    early). A ring-persisted variant that shared one physical execution
+    was measured and dropped: with the input-spread fix the double
+    tokenize costs less than the cache round-trip (0.70 s either way at
+    sf1.0 vs 2.5-2.7 s before the spread fix)."""
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         tokenize_col(F.col(text_col)).alias("toks"),
@@ -86,6 +96,10 @@ def _bm25_matches_df(
     uniq = list(dict.fromkeys(terms))
     for i, t in enumerate(uniq):
         docs = docs.withColumn(f"tf_{i}", _tf_col(t))
+    need_toks = bool(phrases or sloppy_phrases or exclude)
+    narrow = (["doc_id", "dl"] + [f"tf_{i}" for i in range(len(uniq))]
+              + list(keep_cols) + (["toks"] if need_toks else []))
+    docs = docs.select(*narrow)
     # avgdl from exact integer sum / count → bit-identical to the DuckDB oracle
     stats = docs.agg(
         F.count("*").alias("n_docs"),
@@ -358,6 +372,11 @@ def facet_range_df(df: DataFrame, value_col: str, start: float,
     (numeric, bounded cardinality = n_buckets, never skewed), then the
     tiny computed bucket spine joins the counts broadcast — the corpus
     is scanned exactly once and nothing corpus-sized shuffles wide."""
+    if gap <= 0:
+        raise ValueError(f"facet_range gap must be > 0, got {gap}")
+    if end <= start:
+        raise ValueError(
+            f"facet_range requires end > start, got [{start}, {end})")
     spark = df.sparkSession
     n_buckets = int(math.ceil((end - start) / gap))
     spine = spark.range(n_buckets).select(

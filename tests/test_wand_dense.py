@@ -74,3 +74,19 @@ def test_dense_rank_identity(dense_index, dense_oracle, k):
         assert [d for d, _ in got] == [d for d, _ in want], (q, k)
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-9), (q, k)
+
+
+def test_strategy_identity_vectorized_vs_wand(dense_index, monkeypatch):
+    """r7: search() picks decode-and-score below VEC_POSTINGS_MAX and
+    WAND/leapfrog above it — both must return identical ranked hits
+    (same docs, bit-equal scores). Force each strategy over the same
+    query sweep."""
+    import lucille_spark.query.searcher as S
+
+    for q in _queries():
+        for k in (1, 10, 50):
+            monkeypatch.setattr(S, "VEC_POSTINGS_MAX", 1 << 62)
+            vec = S.IndexSearcher(dense_index[0]).search(q, k=k)
+            monkeypatch.setattr(S, "VEC_POSTINGS_MAX", 0)
+            wand = S.IndexSearcher(dense_index[0]).search(q, k=k)
+            assert vec == wand, (q, k)
