@@ -45,13 +45,20 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool = True) -> DataFrame:
     # single-row-group parquet -> 1 scan partition; spread so the narrow
-    # map work (tokenize, hashing, scoring) uses every core (guide §2.5)
+    # map work (tokenize, scoring) uses every core (guide §2.5). Ops whose
+    # only work is one hash pass feeding their own aggregation shuffle
+    # pass spread=False — that shuffle already distributes them, and the
+    # extra exchange was measured pure overhead (dedup_exact at sf1.0:
+    # 0.41-0.51 s unspread vs 0.99-1.07 s spread).
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if not spread:
+        return df
     from lucille_spark.corpus import spread_small_input
 
-    return spread_small_input(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
+    return spread_small_input(df)
 
 
 def _events(spark, sf_dir):
@@ -798,7 +805,8 @@ FROM documents GROUP BY sha256(text)
 def dedup_exact(spark, sf_dir):
     from lucille_spark.ml.dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+    return exact_duplicates(_docs(spark, sf_dir, spread=False),
+                            "doc_id", "text")
 
 
 def _minhash_sql(n_hashes: int = 8) -> str:
@@ -1040,7 +1048,10 @@ FROM toks
 def text_quality(spark, sf_dir):
     from lucille_spark.ml.textstats import quality_scores
 
-    return quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+    # spread=False: a count()-materialized consumer prunes every computed
+    # column, leaving the spread exchange as the plan's only real work
+    return quality_scores(_docs(spark, sf_dir, spread=False),
+                          "doc_id", "text")
 
 
 @register("text_fingerprint", sql=f"""

@@ -17,6 +17,8 @@ pandas UDFs without per-row Python overhead (BASELINE input_hint).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 _MASKS = None
@@ -162,21 +164,31 @@ def encode_positions(positions_per_doc: list) -> bytes:
     return encode_positions_flat(flat, lens)
 
 
-def decode_positions_flat(data: bytes, n_docs: int):
+def decode_positions_flat(data: bytes, n_docs: int,
+                          lens: Optional[np.ndarray] = None):
     """Inverse of encode_positions, vectorized -> (flat_positions, lens).
 
-    The only sequential dependency is locating the per-doc length markers
-    (cheap int loop); the delta decoding itself is one grouped cumsum."""
+    When the caller already knows the per-doc position counts (they are
+    by construction the tf values stored alongside — encode side writes
+    ``[tf_d, delta-positions_d ...]``), pass them as ``lens`` and the
+    marker walk becomes one cumsum; otherwise the markers are located
+    with a cheap sequential int loop (each marker's position depends on
+    the previous doc's length)."""
     flat = vbyte_decode(data)
-    lens = np.empty(n_docs, dtype=np.int64)
-    markers = np.empty(n_docs, dtype=np.int64)
-    m = 0
-    fl = flat.tolist()
-    for i in range(n_docs):
-        markers[i] = m
-        n = fl[m]
-        lens[i] = n
-        m += n + 1
+    if lens is not None:
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        step = lens + 1
+        markers = np.cumsum(step) - step
+    else:
+        lens = np.empty(n_docs, dtype=np.int64)
+        markers = np.empty(n_docs, dtype=np.int64)
+        m = 0
+        fl = flat.tolist()
+        for i in range(n_docs):
+            markers[i] = m
+            n = fl[m]
+            lens[i] = n
+            m += n + 1
     mask = np.ones(flat.size, dtype=bool)
     mask[markers] = False
     deltas = flat[mask]
@@ -189,9 +201,10 @@ def decode_positions_flat(data: bytes, n_docs: int):
     return abs_ - corr, lens
 
 
-def decode_positions(data: bytes, n_docs: int) -> list:
+def decode_positions(data: bytes, n_docs: int,
+                     lens: Optional[np.ndarray] = None) -> list:
     """Inverse of encode_positions -> list of uint64 arrays, len == n_docs."""
     if n_docs == 0:
         return []
-    flat, lens = decode_positions_flat(data, n_docs)
+    flat, lens = decode_positions_flat(data, n_docs, lens=lens)
     return np.split(flat, np.cumsum(lens)[:-1])

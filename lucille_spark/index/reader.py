@@ -418,8 +418,12 @@ class IndexReader:
             tfs = codecs.vbyte_decode(b"".join(pdf["tfs"]))
             dls = codecs.vbyte_decode(b"".join(pdf["dls"]))
             if positions and pdf["positions"].iloc[0] is not None:
+                # the positions stream's per-doc lengths ARE the tfs just
+                # decoded — pass them so the marker walk is one cumsum
+                # instead of a per-doc Python loop
                 flat, lens = codecs.decode_positions_flat(
-                    b"".join(pdf["positions"]), int(counts.sum()))
+                    b"".join(pdf["positions"]), int(counts.sum()),
+                    lens=tfs.astype(np.int64))
             else:
                 flat, lens = empty, np.empty(0, np.int64)
             out = (docs, tfs, dls, flat, lens)
@@ -526,7 +530,8 @@ class TermCursor:
         """Positions of the current doc (block-lazily decoded)."""
         if self._poss is None:
             raw = self._blocks.iloc[self.bi]["positions"]
-            self._poss = codecs.decode_positions(raw, len(self._docs))
+            self._poss = codecs.decode_positions(raw, len(self._docs),
+                                                 lens=self._tfs)
         return self._poss[self.pos]
 
     def next(self):
