@@ -151,17 +151,37 @@ def corpus_df(spark, n_docs: int, partitions: int | None = None):
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
-def spread_small_input(df, min_parts: int | None = None):
+def spread_small_input(df, min_parts: int | None = None,
+                       min_bytes: int | None = None):
     """Round-robin repartition an under-partitioned input (guide §2.5: one
     big unsplittable file — the sf documents.parquet is a single row
     group, so every narrow map stage over it would run on ONE core).
     No-op when the scan already has >= the cluster's parallelism — at
     real scale inputs arrive with thousands of splits and this never adds
-    a corpus-sized shuffle."""
+    a corpus-sized shuffle.
+
+    ``min_bytes``: cost-model floor for ONE-PASS consumers — the exchange
+    moves every byte once, so parallelizing an input smaller than this
+    saves less map time than the shuffle costs (measured at sf0.1/0.6 MB:
+    +0.15-0.2 s per query from the exchange, no compute win; at
+    sf1.0/5.9 MB the same exchange buys 2-4x). Multi-pass consumers (the
+    index build tokenizes the cached spread result three times) leave it
+    None and always spread. Unknown input size (non-file sources) spreads."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if min_bytes:
+        try:
+            import os as _os
+
+            files = df.inputFiles()
+            total = sum(_os.path.getsize(f.replace("file:", ""))
+                        for f in files) if files else None
+            if total is not None and total < min_bytes:
+                return df
+        except Exception:
+            pass  # size unknown -> spread
     return df.repartition(target)
 
 

@@ -45,6 +45,12 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# one-pass gate queries only earn the spread exchange back above this
+# input size (see corpus.spread_small_input's cost-model note)
+_SPREAD_MIN_BYTES = int(os.environ.get("LUCILLE_SPREAD_MIN_BYTES",
+                                       str(4 << 20)))
+
+
 def _docs(spark: SparkSession, sf_dir: str,
           spread: bool = True) -> DataFrame:
     # single-row-group parquet -> 1 scan partition; spread so the narrow
@@ -58,21 +64,23 @@ def _docs(spark: SparkSession, sf_dir: str,
         return df
     from lucille_spark.corpus import spread_small_input
 
-    return spread_small_input(df)
+    return spread_small_input(df, min_bytes=_SPREAD_MIN_BYTES)
 
 
 def _events(spark, sf_dir):
     from lucille_spark.corpus import spread_small_input
 
     return spread_small_input(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
+        min_bytes=_SPREAD_MIN_BYTES)
 
 
 def _emb(spark, sf_dir):
     from lucille_spark.corpus import spread_small_input
 
     return spread_small_input(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        min_bytes=_SPREAD_MIN_BYTES)
 
 
 TOKS_SQL = duckdb_tokens_sql("text")
