@@ -167,18 +167,171 @@ def _encode_factory(avgdl: float, block_size: int, store_positions: bool,
 
 
 
+def _binary_from_segments(data, offsets):
+    """pyarrow binary array over contiguous byte segments WITHOUT a per-row
+    Python loop (guide §4.2: re-slice one data buffer by computing a new
+    offsets array). ``offsets`` is int64 of len n+1 into ``data``."""
+    off32 = offsets.astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), off32.size - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(off32)),
+         pa.py_buffer(np.ascontiguousarray(data))])
+
+
+def _encode_single_partition_factory(avgdl: float, block_size: int,
+                                     store_positions: bool,
+                                     field: str = "content"):
+    """mapInArrow kernel that block-encodes ALL (term, salt) groups of one
+    partition of RAW TOKEN OCCURRENCES in a single vectorized pass: one
+    lexsort + run-length boundaries, reduceat block aggregates, and each
+    payload column sliced out of ONE batch vbyte encode (codecs.vbyte is
+    per-value independent, so segment slicing equals per-block encoding).
+
+    Used ONLY for merge micro-batches routed through
+    ``postings_blocks(single_partition_encode=True)``: a 100-doc delta
+    still touches ~|vocab| distinct terms, and groupBy().applyInPandas
+    pays one Python call + one pandas DataFrame per tiny group (~1.15 s
+    of a 100-doc batch) plus the JVM group sort (~0.85 s). This kernel
+    replaces both with ~10 ms of NumPy. It was also byte-identity-proven
+    and benchmarked as the FULL build's encoder and rejected there: its
+    partition-wide passes stream hundreds of MB through DRAM at build
+    sizes, losing under host bandwidth contention — a micro-batch is
+    cache-sized, so the objection does not apply."""
+    k1, b = BM25_K1, BM25_B
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        bl = [bt for bt in batches if bt.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        denc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = denc.dictionary
+        doc = tbl.column("doc_ord").to_numpy().astype(np.int64)
+        pos = tbl.column("pos").to_numpy().astype(np.int64)
+        dl = tbl.column("dl").to_numpy().astype(np.int64)
+        salt = tbl.column("salt").to_numpy().astype(np.int64)
+        n = doc.size
+        order = np.lexsort((pos, doc, salt, codes))
+        c_s, s_s, d_s = codes[order], salt[order], doc[order]
+        p_s, dl_s = pos[order], dl[order]
+
+        # (group, doc) runs — one per posting; groups at (term, salt) level
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = ((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+                       | (s_s[1:] != s_s[:-1]))
+        run_starts = np.flatnonzero(new_run)
+        tf_r = np.diff(np.append(run_starts, n))
+        d_r = d_s[run_starts]
+        dl_r = dl_s[run_starts]
+        c_r = c_s[run_starts]
+        s_r = s_s[run_starts]
+        nr = run_starts.size
+        new_group = np.empty(nr, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (c_r[1:] != c_r[:-1]) | (s_r[1:] != s_r[:-1])
+        g_id = np.cumsum(new_group) - 1
+        g_starts = np.flatnonzero(new_group)
+        idx_in_g = np.arange(nr) - g_starts[g_id]
+        blk_new = new_group | (idx_in_g % block_size == 0)
+        blk_starts = np.flatnonzero(blk_new)
+        blk_ends = np.append(blk_starts[1:], nr)
+        n_blocks = blk_starts.size
+        blk_gid = g_id[blk_starts]
+        first_blk_of_g = np.flatnonzero(new_group[blk_starts])
+        block_seq = np.arange(n_blocks) - first_blk_of_g[blk_gid]
+
+        # identical float path to the per-group kernel: int64 arrays
+        # through numpy true_divide -> float64, same expression
+        tfnorm = tf_r / (tf_r + k1 * (1.0 - b + b * dl_r / avgdl))
+
+        du = d_r.astype(np.uint64)
+        gaps = np.empty(nr, dtype=np.uint64)
+        gaps[0] = du[0]
+        np.subtract(du[1:], du[:-1], out=gaps[1:])
+        gaps[blk_starts] = du[blk_starts]  # absolute restart per block
+
+        def vb_blocks(vals):
+            data = np.frombuffer(codecs.vbyte_encode(vals), dtype=np.uint8)
+            byte_off = np.concatenate(
+                ([0], np.cumsum(codecs.vbyte_nbytes(vals))))
+            return _binary_from_segments(
+                data, np.append(byte_off[blk_starts], data.size))
+
+        doc_gaps_arr = vb_blocks(gaps)
+        tfs_arr = vb_blocks(tf_r.astype(np.uint64))
+        dls_arr = vb_blocks(dl_r.astype(np.uint64))
+
+        if store_positions:
+            # block positions stream = [tf_d, delta-positions_d ...] per
+            # doc run, vbyte — one interleave + one encode for the whole
+            # partition, sliced per block by byte offsets
+            pu = p_s.astype(np.uint64)
+            deltas = np.empty(n, dtype=np.uint64)
+            deltas[0] = pu[0]
+            np.subtract(pu[1:], pu[:-1], out=deltas[1:])
+            deltas[run_starts] = pu[run_starts]  # absolute per doc run
+            inter = np.empty(n + nr, dtype=np.uint64)
+            seg_starts = run_starts + np.arange(nr)
+            inter[seg_starts] = tf_r.astype(np.uint64)
+            mask = np.ones(inter.size, dtype=bool)
+            mask[seg_starts] = False
+            inter[mask] = deltas
+            data = np.frombuffer(codecs.vbyte_encode(inter), dtype=np.uint8)
+            byte_off = np.concatenate(
+                ([0], np.cumsum(codecs.vbyte_nbytes(inter))))
+            pos_arr = _binary_from_segments(
+                data, np.append(byte_off[seg_starts[blk_starts]], data.size))
+        else:
+            pos_arr = pa.nulls(n_blocks, pa.binary())
+
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(np.full(n_blocks, field, dtype=object),
+                      type=pa.string()),
+             pc.take(dictionary, pa.array(c_r[blk_starts])),
+             pa.array(s_r[blk_starts].astype(np.int32), type=pa.int32()),
+             pa.array(block_seq.astype(np.int32), type=pa.int32()),
+             pa.array(d_r[blk_starts], type=pa.int64()),
+             pa.array(d_r[blk_ends - 1], type=pa.int64()),
+             pa.array((blk_ends - blk_starts).astype(np.int32),
+                      type=pa.int32()),
+             pa.array(np.add.reduceat(tf_r, blk_starts), type=pa.int64()),
+             doc_gaps_arr, tfs_arr, dls_arr, pos_arr,
+             pa.array(np.maximum.reduceat(tf_r, blk_starts)
+                      .astype(np.int32), type=pa.int32()),
+             pa.array(np.maximum.reduceat(tfnorm, blk_starts),
+                      type=pa.float64()),
+             pa.array(np.full(n_blocks, avgdl), type=pa.float64())],
+            names=["field", "term", "salt", "block_seq", "first_doc",
+                   "last_doc", "n_docs", "sum_tf", "doc_gaps", "tfs",
+                   "dls", "positions", "block_max_tf", "block_max_tfnorm",
+                   "bound_avgdl"])
+
+    return kernel
+
+
 def _append_blocks(all_blocks, salted, avgdl, block_size,
-                   store_positions, f_name):
-    enc = _encode_factory(avgdl, block_size, store_positions, field=f_name)
-    blocks = salted.groupBy("term", "salt").applyInPandas(
-        enc, schema=POSTINGS_SCHEMA)
+                   store_positions, f_name, single_partition=False):
+    if single_partition:
+        enc = _encode_single_partition_factory(
+            avgdl, block_size, store_positions, field=f_name)
+        blocks = salted.repartition(1).mapInArrow(enc, POSTINGS_SCHEMA)
+    else:
+        enc = _encode_factory(avgdl, block_size, store_positions,
+                              field=f_name)
+        blocks = salted.groupBy("term", "salt").applyInPandas(
+            enc, schema=POSTINGS_SCHEMA)
     return blocks if all_blocks is None else all_blocks.unionByName(blocks)
 
 
 def postings_blocks(docs, fields, avgdl_by_field, ord_span,
                     tok_fn=None, block_size=BLOCK_SIZE,
                     docs_per_salt=1 << 17, store_positions=True,
-                    salt_sample_mod=1, totals_by_field=None):
+                    salt_sample_mod=1, totals_by_field=None,
+                    single_partition_encode=False):
     """The salted single-shuffle postings construction (shared by the full
     build and the incremental merge). ``ord_span`` is the doc_ord range the
     input covers (used only for salt-range bucketing). Requires dl_<field>
@@ -242,7 +395,8 @@ def postings_blocks(docs, fields, avgdl_by_field, ord_span,
             # batch (guide §2.4: remove shuffles/passes outright)
             all_blocks = _append_blocks(
                 all_blocks, toks.withColumn("salt", F.lit(0)),
-                avgdl_by_field[f_name], block_size, store_positions, f_name)
+                avgdl_by_field[f_name], block_size, store_positions, f_name,
+                single_partition=single_partition_encode)
             continue
         cf_src = docs
         if salt_sample_mod > 1:

@@ -172,25 +172,22 @@ def merge_index(
     # total is <= docs_per_salt provably has no hot term, so
     # postings_blocks skips the hot-table job outright (one Spark job per
     # batch on the streaming path).
+    micro = n_delta * len(fields) <= 1 << 16
     blocks = postings_blocks(
         delta, fields, avgdl_by_field, ord_span=max_ord + 1 + n_delta,
         block_size=block_size, docs_per_salt=docs_per_salt,
         store_positions=store_positions,
-        totals_by_field={f: int(agg[f"total_{f}"] or 0)
-                         for f in fields}).persist()
-    if n_delta * len(fields) <= 1 << 16:
-        # micro-batch fast path: the delta's block table is tiny, so the
-        # range-partitioner's boundary-SAMPLING job (a full extra pass
-        # over the encode) buys nothing — one sorted file both keeps the
-        # term-sorted row-group pruning AND stops the postings dir
-        # accreting shuffle-partition-many small files per merge (guide
-        # §6). repartition(1), NOT coalesce(1): coalesce would collapse
-        # the per-group encode itself to one task (measured 19-21 s vs
-        # 5.5-7 s per 100-doc batch — ~|vocab| group kernels run
-        # single-threaded); the extra exchange only moves the tiny
-        # encoded block rows.
-        (blocks.repartition(1)
-         .sortWithinPartitions("field", "term", "salt", "block_seq")
+        totals_by_field={f: int(agg[f"total_{f}"] or 0) for f in fields},
+        single_partition_encode=micro).persist()
+    if micro:
+        # micro-batch fast path (guide §1.2/§6): the delta is shuffled to
+        # ONE partition and block-encoded by the vectorized
+        # single-partition kernel (builder._encode_single_partition_factory
+        # — no per-group Python, ~10 ms for a 100-doc delta where the
+        # per-group route paid ~2 s), then written as one term-sorted
+        # file: no boundary-sampling pass, no small-file accretion, and
+        # the row-group pruning layout is preserved by the sort.
+        (blocks.sortWithinPartitions("field", "term", "salt", "block_seq")
          .write.mode("append").parquet(os.path.join(index_dir, "postings")))
     else:
         (blocks.repartitionByRange(
