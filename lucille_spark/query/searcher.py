@@ -505,12 +505,19 @@ class IndexSearcher:
             decoded[t] = (flat_docs, flat.astype(np.int64))
         MAXPOS = np.int64(1) << np.int64(32)
         base_docs, base_pos = decoded[terms[0]]
-        # candidate occurrence keys of the first term
+        # candidate occurrence keys of the first term. Keys are built from
+        # doc-major, position-ascending postings, so every key array is
+        # already SORTED — membership is a searchsorted probe instead of
+        # np.isin's internal sort (r7).
         keys = base_docs * MAXPOS + base_pos
         for off in range(1, len(terms)):
             nd, npos = decoded[terms[off]]
             nkeys = nd * MAXPOS + npos
-            keys = keys[np.isin(keys + off, nkeys)]
+            want = keys + off
+            pos = np.searchsorted(nkeys, want)
+            ok = pos < nkeys.size
+            ok[ok] = nkeys[pos[ok]] == want[ok]
+            keys = keys[ok]
             if keys.size == 0:
                 return DocSet.empty()
         return DocSet(np.unique(keys // MAXPOS))
@@ -542,7 +549,10 @@ class IndexSearcher:
         q = np.concatenate([qq for _, qq in per])
         lab = np.concatenate([np.full(fd.size, i, dtype=np.int64)
                               for i, (fd, _) in enumerate(per)])
-        keep = np.isin(d, cand)
+        # cand is sorted (intersect1d) — searchsorted membership probe
+        _p = np.searchsorted(cand, d)
+        keep = _p < cand.size
+        keep[keep] = cand[_p[keep]] == d[keep]
         d, q, lab = d[keep], q[keep], lab[keep]
         order = np.lexsort((q, d))
         d, q, lab = d[order], q[order], lab[order]
