@@ -498,9 +498,20 @@ def build_index(
         c for c in ("repo", "path", "commit", "lang") if c in corpus.columns
     ] + ["content_sha256"]
     t_stage = time.time()
+    obs = None
     if not (resume and ledger.done("doc_stats")):
-        docs.select(*stat_cols).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "doc_stats"))
+        # the corpus stats (N + per-field token sums) ride the doc_stats
+        # write job as observed metrics — one full pass over the docs
+        # cache instead of two (guide §1.2: fewer passes). Exact integer
+        # count/sum, so the values are identical to the old separate agg.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (docs.observe(obs, F.count(F.lit(1)).alias("n"),
+                      *[F.sum(f"dl_{f}").alias(f"total_{f}")
+                        for f in fields])
+         .select(*stat_cols).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_stats")))
         ledger.record("doc_stats", -1, t_stage)
     ident.unpersist()  # docs cache is materialized now; ident no longer needed
     _mark("ordinals + doc_stats write")
@@ -511,8 +522,9 @@ def build_index(
         n_docs = int(cs[0]["n_docs"]) if cs else 0
         avgdl_by_field = {r["field"]: r["avgdl"] for r in cs}
     else:
-        # one combined job for N + all per-field token sums
-        agg = docs.agg(
+        # metrics observed during the doc_stats write; the separate agg
+        # job remains only for the resume path that skipped that write
+        agg = obs.get if obs is not None else docs.agg(
             F.count("*").alias("n"),
             *[F.sum(f"dl_{f}").alias(f"total_{f}") for f in fields]).collect()[0]
         n_docs = int(agg["n"])
